@@ -1,0 +1,212 @@
+"""Configuration dataclasses for the rm_radar_tpu framework.
+
+Every default below mirrors the published defaults of the reference C++
+implementation (zmsbruce/rm_radar), because those defaults *are* the observed
+behavior of the system:
+
+* Detector defaults:      reference src/detect/detector.h:87-93
+* RobotDetector defaults: reference src/detect/detector.h:173-180
+* Locator defaults:       reference src/locate/locator.h:59-65
+* Tracker defaults:       reference src/track/tracker.h:25-30
+* Sample app constants:   reference samples/sample_radar.h:32-34
+
+Units follow the reference conventions: image coordinates in pixels, LiDAR /
+world coordinates in millimeters (converted to meters when a location is
+written to a robot), timestamps in float seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Single-model detector configuration.
+
+    Mirrors the constructor parameters of ``radar::Detector``
+    (reference src/detect/detector.h:87-93). The TensorRT-specific knobs
+    (opt_batch_size, opt_level, engine caching) have no TPU counterpart;
+    their role is played by XLA's jit cache and the persistent compilation
+    cache.
+    """
+
+    classes: int = 1
+    max_batch_size: int = 1
+    nms_thresh: float = 0.65
+    conf_thresh: float = 0.25
+    input_width: int = 640
+    input_height: int = 640
+    input_channels: int = 3
+    # TPU-specific: fixed-capacity outputs (dynamic shapes are not jittable).
+    # The number of NMS survivors kept per image after compaction.
+    max_detections: int = 32
+    # Number of top-confidence candidate boxes entering all-pairs NMS. The
+    # reference runs all-pairs NMS over all 8400 anchors (detector.cu:315-360);
+    # boxes below conf_thresh are dropped there too, so restricting the
+    # pairwise pass to the top-K candidates by confidence is exact whenever
+    # fewer than K anchors pass conf_thresh (always true in practice).
+    nms_top_k: int = 512
+
+    @property
+    def num_anchors(self) -> int:
+        """YOLOv8 anchor count for the configured input size (8400 at 640)."""
+        return sum(
+            (self.input_height // s) * (self.input_width // s) for s in (8, 16, 32)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotDetectorConfig:
+    """Two-stage car→armor cascade configuration.
+
+    Mirrors ``radar::RobotDetector`` defaults (reference
+    src/detect/detector.h:173-180) and the sample app constants
+    kClassNum=12, kMaxBatchSize=20 (samples/sample_radar.h:32-34).
+    """
+
+    armor_classes: int = 12
+    max_cars: int = 20
+    iou_thresh: float = 0.75
+    car_nms_thresh: float = 0.65
+    car_conf_thresh: float = 0.25
+    armor_nms_thresh: float = 0.65
+    armor_conf_thresh: float = 0.50
+    input_width: int = 640
+    input_height: int = 640
+    max_armors_per_car: int = 8
+
+    def car_config(self) -> DetectorConfig:
+        return DetectorConfig(
+            classes=1,
+            max_batch_size=1,
+            nms_thresh=self.car_nms_thresh,
+            conf_thresh=self.car_conf_thresh,
+            input_width=self.input_width,
+            input_height=self.input_height,
+            max_detections=self.max_cars,
+        )
+
+    def armor_config(self) -> DetectorConfig:
+        return DetectorConfig(
+            classes=self.armor_classes,
+            max_batch_size=self.max_cars,
+            nms_thresh=self.armor_nms_thresh,
+            conf_thresh=self.armor_conf_thresh,
+            input_width=self.input_width,
+            input_height=self.input_height,
+            max_detections=self.max_armors_per_car,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LocatorConfig:
+    """LiDAR localization configuration, all lengths in millimeters.
+
+    Mirrors ``radar::Locator`` constructor defaults (reference
+    src/locate/locator.h:59-65): zoom_factor=0.5, queue_size=3,
+    min/max_depth_diff=500/4000, cluster_tolerance=400, cluster size 8..1000,
+    max_distance=29300.
+    """
+
+    image_width: int = 2592
+    image_height: int = 2048
+    zoom_factor: float = 0.5
+    queue_size: int = 3
+    min_depth_diff: float = 500.0
+    max_depth_diff: float = 4000.0
+    cluster_tolerance: float = 400.0
+    min_cluster_size: int = 8
+    max_cluster_size: int = 1000
+    max_distance: float = 29300.0
+    # TPU-specific fixed capacities.
+    max_points: int = 16384  # input cloud capacity (zero-padded)
+    max_foreground: int = 4096  # foreground pixels entering clustering
+    cc_iterations: int = 16  # label-propagation rounds (with pointer jumping)
+
+    @property
+    def zoomed_width(self) -> int:
+        # int truncation as in reference src/locate/locate.cpp:122
+        return int(self.image_width * self.zoom_factor)
+
+    @property
+    def zoomed_height(self) -> int:
+        return int(self.image_height * self.zoom_factor)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """SORT-style tracker configuration.
+
+    Mirrors ``radar::Tracker`` constructor defaults (reference
+    src/track/tracker.h:25-30): init_thresh=4, miss_thresh=10,
+    max_acceleration=2.0 m/s^2, tau=1.0 s, distance_weight=0.4,
+    feature_weight=0.6, max_iter=100, distance_thresh=0.8 m.
+    """
+
+    class_num: int = 12
+    init_thresh: int = 4
+    miss_thresh: int = 10
+    max_acceleration: float = 2.0
+    acceleration_correlation_time: float = 1.0
+    distance_weight: float = 0.4
+    feature_weight: float = 0.6
+    max_iter: int = 100
+    distance_thresh: float = 0.8
+    # Observation noise (m), per-axis; samples/main.cpp:22 uses (0.4, 0.4, 0.4).
+    observation_noise: Tuple[float, float, float] = (0.4, 0.4, 0.4)
+    # TPU-specific fixed capacity for the batched on-device track store.
+    max_tracks: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class Calibration:
+    """Camera / LiDAR / world calibration.
+
+    Defaults are the sample calibration hardcoded in the reference sample app
+    (samples/main.cpp:12-22): a 2592x2048 camera, its intrinsic matrix, the
+    LiDAR→camera extrinsic and the world→camera extrinsic.
+    """
+
+    intrinsic: Tuple[Tuple[float, ...], ...] = (
+        (1685.51538398561, 0.0, 1278.99324114319),
+        (0.0, 1685.26471848220, 1037.21273138299),
+        (0.0, 0.0, 1.0),
+    )
+    lidar_to_camera: Tuple[Tuple[float, ...], ...] = (
+        (0.0, -1.0, 0.0, 0.85443),
+        (0.0, 0.0, -1.0, -37.6845),
+        (1.0, 0.0, 0.0, 12.2631),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+    world_to_camera: Tuple[Tuple[float, ...], ...] = (
+        (0.05975021, 0.99807031, 0.01689906, -7179.65399136),
+        (0.28962566, -0.00113262, -0.95713933, -4671.34956587),
+        (-0.9552732, 0.06208368, -0.28913445, 28286.8920291),
+        (0.0, 0.0, 0.0, 1.0),
+    )
+
+    def intrinsic_np(self) -> np.ndarray:
+        return np.asarray(self.intrinsic, dtype=np.float32)
+
+    def lidar_to_camera_np(self) -> np.ndarray:
+        return np.asarray(self.lidar_to_camera, dtype=np.float32)
+
+    def world_to_camera_np(self) -> np.ndarray:
+        return np.asarray(self.world_to_camera, dtype=np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """Top-level pipeline configuration (SampleRadar equivalent,
+    reference samples/sample_radar.h:41-127)."""
+
+    detector: RobotDetectorConfig = dataclasses.field(
+        default_factory=RobotDetectorConfig
+    )
+    locator: LocatorConfig = dataclasses.field(default_factory=LocatorConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    calibration: Calibration = dataclasses.field(default_factory=Calibration)

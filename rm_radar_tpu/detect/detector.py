@@ -1,0 +1,260 @@
+"""Detector and RobotDetector: the two-stage car -> armor cascade.
+
+Reference equivalents:
+
+* ``radar::Detector`` (src/detect/detector.{h,cpp}) wraps one TensorRT engine
+  with per-image CUDA streams, pinned buffers and an engine cache. Here a
+  Detector is a Flax YOLOv8 + fused letterbox/decode/NMS compiled by XLA; the
+  jit cache replaces the engine cache and batching replaces stream juggling.
+* ``radar::RobotDetector`` (detector.cpp:377-455) crops each detected car on
+  the host and runs a dynamic-batch armor inference. Here the crops never
+  leave the device (fused gather, ops/preprocess.py) and the armor batch is a
+  fixed ``max_cars`` capacity with a validity mask — the TPU answer to
+  TensorRT's dynamic optimization profiles. Bucketed jit (1/4/8/max) trims
+  wasted FLOPs when few cars are present.
+
+The whole cascade — letterbox, car model, NMS, 20 fused crop+letterbox, armor
+model, NMS, robot assembly and same-label dedup — is ONE jitted program with
+no host round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DetectorConfig, RobotDetectorConfig
+from ..geometry import union_iou
+from ..models.yolov8 import YoloV8, create_model, init_params
+from ..ops.detect_ops import postprocess
+from ..ops.preprocess import letterbox, letterbox_crop
+from ..types import Array, Detections, RobotBatch, TrackState
+
+
+class Detector:
+    """Single-model detector: image(s) -> Detections in source coordinates.
+
+    Construction mirrors the reference Detector parameters
+    (src/detect/detector.h:87-93); TensorRT-only knobs are dropped.
+    """
+
+    def __init__(
+        self,
+        config: DetectorConfig,
+        variant: str = "m",
+        variables: Any = None,
+        rng_seed: int = 0,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.config = config
+        self.model, self.model_cfg = create_model(
+            variant=variant,
+            num_classes=config.classes,
+            input_size=(config.input_height, config.input_width),
+            dtype=dtype,
+        )
+        if variables is None:
+            variables = init_params(self.model, jax.random.PRNGKey(rng_seed))
+        self.variables = variables
+        self._jitted = {}
+
+    def raw_forward(self, blobs: Array) -> Array:
+        """[B, H, W, 3] float blobs -> [B, 4+classes, A] raw output."""
+        return self.model.apply(self.variables, blobs)
+
+    def detect_fn(self, image: Array) -> Detections:
+        """Pure single-image path (traceable): uint8 HWC BGR -> Detections."""
+        cfg = self.config
+        blob, pparam = letterbox(image, cfg.input_height, cfg.input_width)
+        raw = self.model.apply(self.variables, blob[None])[0]
+        return postprocess(
+            raw,
+            pparam,
+            cfg.nms_thresh,
+            cfg.conf_thresh,
+            cfg.nms_top_k,
+            cfg.max_detections,
+        )
+
+    def detect(self, image: np.ndarray) -> Detections:
+        """Host convenience API with a per-shape jit cache (the reference
+        caches serialized engines per model; XLA's jit cache is per input
+        shape)."""
+        key = ("single", image.shape, image.dtype.str)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self.detect_fn)
+        return self._jitted[key](image)
+
+    def detect_batch(self, images: np.ndarray) -> Detections:
+        """[B, H, W, 3] same-size batch (multi-camera path)."""
+        key = ("batch", images.shape, images.dtype.str)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(jax.vmap(self.detect_fn))
+        return self._jitted[key](images)
+
+
+def _classify_car(
+    armors: Detections, class_num: int
+) -> Tuple[Array, Array, Array]:
+    """Robot::setDetection label/confidence from one car's armor detections.
+
+    label = argmax over classes of summed armor confidence; confidence = that
+    sum divided by the number of armors carrying the label
+    (reference robot.cpp:41-74). Returns (label, confidence, detected).
+    """
+    one_hot = (
+        armors.label[:, None] == jnp.arange(class_num, dtype=jnp.int32)
+    ) & armors.valid[:, None]
+    sums = jnp.sum(one_hot * armors.confidence[:, None], axis=0)
+    counts = jnp.sum(one_hot, axis=0)
+    label = jnp.argmax(sums, axis=-1).astype(jnp.int32)
+    count = jnp.maximum(counts[label], 1)
+    confidence = sums[label] / count.astype(jnp.float32)
+    detected = jnp.any(armors.valid)
+    return (
+        jnp.where(detected, label, -1),
+        jnp.where(detected, confidence, 0.0),
+        detected,
+    )
+
+
+def _dedup_same_label(
+    rect: Array,
+    label: Array,
+    confidence: Array,
+    detected: Array,
+    valid: Array,
+    class_num: int,
+    iou_thresh: float,
+) -> Array:
+    """Same-label dedup, replicating RobotDetector::detect's map logic
+    (detector.cpp:431-450) ordered over car slots:
+
+    the first detected car of a label holds it; a later same-label car is
+    dropped when it overlaps the holder with (bounding-union) IoU >
+    iou_thresh, otherwise it replaces the holder iff its confidence is
+    higher. Undetected cars always pass through. Returns the keep mask.
+    """
+    n = rect.shape[0]
+    winner = jnp.full((class_num,), -1, jnp.int32)
+    for i in range(n):
+        is_cand = valid[i] & detected[i]
+        l = jnp.clip(label[i], 0, class_num - 1)
+        w = winner[l]
+        has_winner = w >= 0
+        wi = jnp.clip(w, 0, n - 1)
+        overlap = union_iou(rect[wi], rect[i]) > iou_thresh
+        better = confidence[wi] < confidence[i]
+        take = is_cand & (~has_winner | (~overlap & better))
+        winner = jnp.where(take, winner.at[l].set(i), winner)
+    slots = jnp.arange(n, dtype=jnp.int32)
+    is_winner = winner[jnp.clip(label, 0, class_num - 1)] == slots
+    return valid & (~detected | is_winner)
+
+
+class RobotDetector:
+    """Two-stage cascade: car detection -> per-car armor detection -> robots.
+
+    Equivalent to radar::RobotDetector (detector.cpp:377-455) with fixed
+    ``max_cars`` capacity instead of dynamic batching.
+    """
+
+    def __init__(
+        self,
+        config: RobotDetectorConfig | None = None,
+        car_variant: str = "m",
+        armor_variant: str = "m",
+        car_variables: Any = None,
+        armor_variables: Any = None,
+        dtype: Any = jnp.bfloat16,
+    ):
+        self.config = config or RobotDetectorConfig()
+        self.car = Detector(
+            self.config.car_config(), car_variant, car_variables, 0, dtype
+        )
+        self.armor = Detector(
+            self.config.armor_config(), armor_variant, armor_variables, 1, dtype
+        )
+        self._jitted = {}
+
+    def detect_fn(self, image: Array) -> RobotBatch:
+        """Full fused cascade for one frame (traceable).
+
+        image: uint8 [H, W, 3] BGR. Returns a RobotBatch of capacity
+        max_cars in full-image coordinates.
+        """
+        cfg = self.config
+        cars = self.car.detect_fn(image)  # Detections [max_cars]
+
+        # Fused crop + letterbox for every car slot (invalid slots produce
+        # garbage blobs that are masked out of the results).
+        crop_fn = functools.partial(
+            letterbox_crop,
+            image,
+            dst_height=cfg.input_height,
+            dst_width=cfg.input_width,
+        )
+        blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
+
+        raw = self.armor.raw_forward(blobs)  # [max_cars, 4+classes, A]
+        acfg = self.armor.config
+        armors = jax.vmap(
+            lambda r, p: postprocess(
+                r,
+                p,
+                acfg.nms_thresh,
+                acfg.conf_thresh,
+                acfg.nms_top_k,
+                acfg.max_detections,
+            )
+        )(raw, pparams)
+
+        # Armor boxes into full-image coordinates: shifted by the *float* car
+        # origin, as Robot::setDetection does (robot.cpp:70-73) even though
+        # the crop itself used the truncated int origin.
+        shift = jnp.concatenate(
+            [cars.xywh[:, None, :2], jnp.zeros_like(cars.xywh[:, None, :2])],
+            axis=-1,
+        )
+        armor_xywh = armors.xywh + shift
+        armor_valid = armors.valid & cars.valid[:, None]
+
+        label, confidence, detected = jax.vmap(
+            lambda a: _classify_car(a, cfg.armor_classes)
+        )(armors._replace(valid=armor_valid))
+
+        keep = _dedup_same_label(
+            cars.xywh,
+            label,
+            confidence,
+            detected,
+            cars.valid,
+            cfg.armor_classes,
+            cfg.iou_thresh,
+        )
+
+        r = cfg.max_cars
+        return RobotBatch(
+            rect=cars.xywh,
+            label=jnp.where(keep, label, -1),
+            confidence=jnp.where(keep, confidence, 0.0),
+            detected=detected & keep,
+            valid=keep,
+            armor_xywh=armor_xywh,
+            armor_label=armors.label,
+            armor_conf=armors.confidence,
+            armor_valid=armor_valid & keep[:, None],
+            location=jnp.full((r, 3), jnp.nan, jnp.float32),
+            located=jnp.zeros((r,), bool),
+            track_state=jnp.full((r,), int(TrackState.NONE), jnp.int32),
+        )
+
+    def detect(self, image: np.ndarray) -> RobotBatch:
+        key = (image.shape, image.dtype.str)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self.detect_fn)
+        return self._jitted[key](image)

@@ -1,0 +1,323 @@
+"""Locator: LiDAR point cloud -> per-robot 3D location, fully on device.
+
+Reference pipeline (src/locate/locate.cpp):
+
+* ``update`` projects each point to a zoomed depth image; the background
+  image keeps the max-ever depth per pixel; pixels whose current depth sits
+  min..max millimeters in front of the background become foreground
+  ("diff") pixels (locate.cpp:158-220).
+* ``cluster`` back-projects foreground pixels to 3D and runs PCL Euclidean
+  clustering (KdTree, tolerance 400 mm, size 8..1000) (locate.cpp:231-264).
+* ``search`` picks, within each robot's zoomed bbox, the largest cluster of
+  foreground points and returns its centroid in world coordinates
+  (locate.cpp:276-311).
+
+TPU-native redesign:
+
+* The racy per-point image writes (a benign data race in the reference,
+  locate.cpp:188-192) become deterministic ``scatter-max`` — same result,
+  race-free by construction.
+* The depth-image queue is a fixed [Q, H, W] ring; the diff image is a
+  masked reduction over it (newest frame wins where several qualify, making
+  the reference's parallel-overwrite race deterministic).
+* PCL's KdTree clustering becomes connected components on the foreground
+  point radius graph, computed by min-label propagation with pointer
+  jumping — O(N^2) dense masked ops over a fixed N=max_foreground capacity,
+  which the VPU eats for breakfast at N<=4096. Size limits (8..1000) are
+  enforced with a segment count, exactly like EuclideanClusterExtraction.
+* ``search`` is a vmap over robot slots of masked bincount/segment means —
+  no host loops.
+
+State (background, queue) lives in a LocatorState pytree that flows through
+jit; the Locator class is a thin host wrapper holding the latest state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Calibration, LocatorConfig
+from ..geometry import (
+    LidarCalib,
+    camera_to_lidar,
+    lidar_to_camera_uvd,
+    lidar_to_world,
+    zoom_rect,
+)
+from ..types import Array, RobotBatch
+
+
+class LocatorState(NamedTuple):
+    """Device-resident locator state."""
+
+    background: Array  # [H, W] float32, max-ever depth (mm)
+    queue: Array  # [Q, H, W] float32 ring of recent depth images
+    frames_seen: Array  # int32 scalar
+
+
+class Foreground(NamedTuple):
+    """Clustered foreground points (fixed capacity N = max_foreground)."""
+
+    uv: Array  # [N, 2] int32 pixel coords in the zoomed image
+    points: Array  # [N, 3] float32 LiDAR-frame mm
+    cluster: Array  # [N] int32 cluster root index, -1 = unclustered noise
+    valid: Array  # [N] bool
+    diff: Array  # [H, W] float32 diff depth image (for tests/debug)
+
+
+def make_state(config: LocatorConfig) -> LocatorState:
+    h, w = config.zoomed_height, config.zoomed_width
+    return LocatorState(
+        background=jnp.zeros((h, w), jnp.float32),
+        queue=jnp.zeros((config.queue_size, h, w), jnp.float32),
+        frames_seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def project_cloud(
+    points: Array, calib: LidarCalib, config: LocatorConfig
+) -> Tuple[Array, Array]:
+    """Point cloud [N, 3] (mm, zero-padded) -> (depth image [H, W], point
+    validity mask).
+
+    Point filters mirror locate.cpp:173-193: drop exact zeros, drop
+    x > max_distance, drop projections outside the zoomed image (we use a
+    half-open bound u < W, v < H where the reference's inclusive bound writes
+    one pixel out of row bounds — consciously fixed). Depth conflicts on one
+    pixel resolve to the max (deterministic replacement for the reference's
+    last-writer-wins race).
+    """
+    h, w = config.zoomed_height, config.zoomed_width
+    nonzero = jnp.any(points != 0.0, axis=-1)
+    near = points[:, 0] <= config.max_distance
+    uvd = lidar_to_camera_uvd(points, calib)
+    u = uvd[:, 0].astype(jnp.int32)
+    v = uvd[:, 1].astype(jnp.int32)
+    d = uvd[:, 2]
+    in_img = (uvd[:, 0] >= 0) & (u < w) & (uvd[:, 1] >= 0) & (v < h)
+    ok = nonzero & near & in_img
+    flat_idx = jnp.where(ok, v * w + u, h * w)  # sentinel bucket for invalid
+    depth = jnp.zeros((h * w + 1,), jnp.float32)
+    depth = depth.at[flat_idx].max(jnp.where(ok, d, 0.0))
+    return depth[:-1].reshape(h, w), ok
+
+
+def update(
+    state: LocatorState,
+    points: Array,
+    calib: LidarCalib,
+    config: LocatorConfig,
+) -> Tuple[LocatorState, Array]:
+    """Locator::update: ingest one cloud, return (new state, diff image).
+
+    diff[px] = depth if min_depth_diff <= background - depth <= max_depth_diff
+    for any queued depth image, newest image winning conflicts
+    (locate.cpp:200-219 resolves them by thread race; we fix newest-wins).
+    """
+    depth, _ = project_cloud(points, calib, config)
+    background = jnp.maximum(state.background, depth)
+    queue = jnp.concatenate([state.queue[1:], depth[None]], axis=0)
+
+    diff = jnp.zeros_like(depth)
+    for i in range(config.queue_size):  # static, oldest -> newest
+        img = queue[i]
+        delta = background - img
+        mask = (
+            (img != 0.0)
+            & (delta >= config.min_depth_diff)
+            & (delta <= config.max_depth_diff)
+        )
+        diff = jnp.where(mask, img, diff)
+    new_state = LocatorState(
+        background=background,
+        queue=queue,
+        frames_seen=state.frames_seen + 1,
+    )
+    return new_state, diff
+
+
+def _connected_components(
+    points: Array, valid: Array, tolerance: float, iterations: int
+) -> Array:
+    """Connected components of the radius graph over [N, 3] points.
+
+    Equivalent to PCL EuclideanClusterExtraction connectivity (locate.cpp:
+    255-257): two points join a cluster when within ``tolerance`` (mm).
+    Min-label propagation with pointer jumping: labels are point indices;
+    each round takes the min label over the point's neighborhood, then
+    compresses label chains (label = label[label], twice), giving
+    convergence in O(log diameter) rounds.
+    """
+    n = points.shape[0]
+    d2 = jnp.sum(
+        (points[:, None, :] - points[None, :, :]) ** 2, axis=-1
+    )  # [N, N]
+    adj = (d2 <= tolerance * tolerance) & valid[:, None] & valid[None, :]
+    big = jnp.int32(n)
+    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), big)
+
+    def body(_, labels):
+        neigh = jnp.where(adj, labels[None, :], big)
+        labels = jnp.minimum(labels, jnp.min(neigh, axis=-1))
+        safe = jnp.clip(labels, 0, n - 1)
+        labels = jnp.where(valid, labels[safe], labels)
+        safe = jnp.clip(labels, 0, n - 1)
+        labels = jnp.where(valid, labels[safe], labels)
+        return labels
+
+    labels = jax.lax.fori_loop(0, iterations, body, labels0)
+    return jnp.where(valid, labels, -1)
+
+
+def cluster(
+    diff: Array, calib: LidarCalib, config: LocatorConfig
+) -> Foreground:
+    """Locator::cluster: foreground pixels -> 3D points -> clusters.
+
+    Clusters outside [min_cluster_size, max_cluster_size] are demoted to
+    noise (cluster id -1), matching PCL's size gate; noise points still
+    participate in search as the reference's "unclustered" candidate group
+    (locate.cpp:292-295).
+    """
+    h, w = diff.shape
+    n = config.max_foreground
+    flat = diff.reshape(-1)
+    (idx,) = jnp.nonzero(flat != 0.0, size=n, fill_value=h * w)
+    valid = idx < h * w
+    safe = jnp.minimum(idx, h * w - 1)
+    v = (safe // w).astype(jnp.float32)
+    u = (safe % w).astype(jnp.float32)
+    d = flat[safe]
+    uvd = jnp.stack([u, v, d], axis=-1)
+    points = camera_to_lidar(uvd, calib)
+
+    labels = _connected_components(
+        points, valid, config.cluster_tolerance, config.cc_iterations
+    )
+    # Cluster size gate (segment count over root labels).
+    counts = jnp.zeros((n + 1,), jnp.int32)
+    counts = counts.at[jnp.where(valid, labels, n)].add(1)
+    size_ok = (counts >= config.min_cluster_size) & (
+        counts <= config.max_cluster_size
+    )
+    labels = jnp.where(valid & size_ok[jnp.clip(labels, 0, n)], labels, -1)
+
+    return Foreground(
+        uv=jnp.stack([safe % w, safe // w], axis=-1).astype(jnp.int32),
+        points=points,
+        cluster=labels,
+        valid=valid,
+        diff=diff,
+    )
+
+
+def search_one(
+    rect_xywh: Array, fg: Foreground, calib: LidarCalib, config: LocatorConfig
+) -> Tuple[Array, Array]:
+    """Locator::search for one robot bbox (full-image pixels).
+
+    Foreground points inside the zoomed bbox are grouped by cluster id
+    (noise id -1 forms its own group); the largest group's centroid maps to
+    world coordinates. Returns (location_m [3], located bool) — location is
+    converted mm -> m as Robot::setLocation does (robot.h:93-95).
+    """
+    n = fg.points.shape[0]
+    r = zoom_rect(
+        rect_xywh,
+        config.zoom_factor,
+        config.zoomed_width,
+        config.zoomed_height,
+    )
+    x0, y0, rw, rh = r[0], r[1], r[2], r[3]
+    u, v = fg.uv[:, 0], fg.uv[:, 1]
+    inside = (
+        fg.valid
+        & (u >= x0)
+        & (u < x0 + rw)
+        & (v >= y0)
+        & (v < y0 + rh)
+    )
+    # Group key: cluster root + 1, with noise (-1) in bucket 0 so that count
+    # ties resolve to the lowest cluster id with noise first — the iteration
+    # order of the reference's std::map<int, ...> (locate.cpp:281-306).
+    key = jnp.where(inside, fg.cluster + 1, n + 1)
+    counts = jnp.zeros((n + 2,), jnp.int32).at[key].add(1)
+    counts = counts.at[n + 1].set(0)
+    best = jnp.argmax(counts)
+    best_count = counts[best]
+    members = inside & (key == best)
+    centroid = jnp.sum(
+        jnp.where(members[:, None], fg.points, 0.0), axis=0
+    ) / jnp.maximum(best_count, 1).astype(jnp.float32)
+    world_mm = lidar_to_world(centroid, calib)
+    located = best_count > 0
+    return jnp.where(located, world_mm * 1e-3, jnp.nan), located
+
+
+def search(
+    robots: RobotBatch, fg: Foreground, calib: LidarCalib, config: LocatorConfig
+) -> RobotBatch:
+    """Vectorized Locator::search over all robot slots (locate.cpp:323-326)."""
+    locs, located = jax.vmap(
+        lambda rect: search_one(rect, fg, calib, config)
+    )(robots.rect)
+    located = located & robots.valid
+    return robots._replace(
+        location=jnp.where(located[:, None], locs, robots.location),
+        located=located,
+    )
+
+
+class Locator:
+    """Host wrapper mirroring the reference Locator API
+    (update / cluster / search), holding device state between frames."""
+
+    def __init__(
+        self,
+        config: LocatorConfig | None = None,
+        calibration: Calibration | None = None,
+    ):
+        self.config = config or LocatorConfig()
+        calibration = calibration or Calibration()
+        self.calib = LidarCalib.create(
+            calibration.intrinsic_np(),
+            calibration.lidar_to_camera_np(),
+            calibration.world_to_camera_np(),
+            self.config.zoom_factor,
+        )
+        self.state = make_state(self.config)
+        self._diff: Optional[Array] = None
+        self._fg: Optional[Foreground] = None
+        self._update = jax.jit(
+            functools.partial(update, calib=self.calib, config=self.config)
+        )
+        self._cluster = jax.jit(
+            functools.partial(cluster, calib=self.calib, config=self.config)
+        )
+        self._search = jax.jit(
+            functools.partial(search, calib=self.calib, config=self.config)
+        )
+
+    def update(self, points: np.ndarray) -> None:
+        """Ingest one cloud ([N, 3] mm; will be padded to capacity)."""
+        from ..utils.io import pad_points
+
+        if points is None or len(points) == 0:
+            return
+        padded = pad_points(points, self.config.max_points)
+        self.state, self._diff = self._update(self.state, padded)
+
+    def cluster(self) -> None:
+        if self._diff is None:
+            return
+        self._fg = self._cluster(self._diff)
+
+    def search(self, robots: RobotBatch) -> RobotBatch:
+        if self._fg is None:
+            return robots
+        return self._search(robots, self._fg)

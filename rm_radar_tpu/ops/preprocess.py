@@ -1,0 +1,185 @@
+"""Fused letterbox preprocessing (resize + pad + blob) for TPU.
+
+The reference runs three CUDA kernels per image — bilinear resize
+(detector.cu:40-81), constant-border pad with value 128 (detector.cu:102-133)
+and BGR→RGB planar float blob (detector.cu:151-171) — orchestrated over one
+CUDA stream per image (detector.cu:439-502). On TPU the whole chain is one
+fused XLA computation per image with no intermediate buffers:
+
+* For the *static* full-frame path, bilinear resampling is expressed as two
+  small matmuls (separable interpolation): ``out = R_y @ img @ R_x`` where
+  R_y/R_x are trace-time numpy constants with two nonzeros per row. This runs
+  on the MXU instead of a gather — the TPU-native formulation.
+* For the *dynamic* crop path (armor cascade: crop rectangles are traced
+  values), resampling is two one-axis gathers + lerps, which XLA lowers to
+  efficient row/column gathers.
+
+Sampling semantics exactly mirror the reference bilinear kernel:
+``src = dst * src_size / dst_size`` (no half-pixel offset), low index by
+float truncation, high index clamped to ``src_size - 1``, and the result is
+truncated to uint8 (detector.cu:53-79) before scaling by 1/255.
+
+The resized extent is ``round(size / ratio)`` — the reference computes the
+pad split from the rounded size (preparam.h:50-51) but truncates the resize
+target (detector.cu:394-400), leaving a one-pixel stale row at the bottom of
+the network input for e.g. 2048-high frames. We use the rounded size for both
+(consciously fixed; documented divergence of at most one edge row).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import compute_pre_param
+from ..types import Array, PreParams
+
+
+def _round_half_away(x: float) -> int:
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+def _resample_matrix(dst: int, src: int) -> np.ndarray:
+    """[dst, src] bilinear sampling matrix with reference semantics."""
+    m = np.zeros((dst, src), np.float32)
+    pos = np.arange(dst, dtype=np.float64) * (src / dst)
+    low = np.floor(pos).astype(np.int64)
+    high = np.minimum(low + 1, src - 1)
+    frac = (pos - low).astype(np.float32)
+    m[np.arange(dst), low] += 1.0 - frac
+    m[np.arange(dst), high] += frac
+    return m
+
+
+def letterbox(
+    image: Array,
+    dst_height: int = 640,
+    dst_width: int = 640,
+    pad_value: float = 128.0,
+) -> Tuple[Array, PreParams]:
+    """Letterbox a uint8 BGR HWC image of static shape to a float RGB blob.
+
+    Returns ([dst_h, dst_w, 3] float32 RGB in [0, 1], PreParams).
+    """
+    src_h, src_w = int(image.shape[0]), int(image.shape[1])
+    pparam = compute_pre_param(src_h, src_w, dst_height, dst_width)
+    ratio = 1.0 / min(dst_height / src_h, dst_width / src_w)
+    rh = _round_half_away(src_h / ratio)
+    rw = _round_half_away(src_w / ratio)
+    dh = (dst_height - rh) * 0.5
+    dw = (dst_width - rw) * 0.5
+    top = _round_half_away(dh - 0.1)
+    bottom = _round_half_away(dh + 0.1)
+    left = _round_half_away(dw - 0.1)
+    right = _round_half_away(dw + 0.1)
+
+    ry = jnp.asarray(_resample_matrix(rh, src_h))
+    rx = jnp.asarray(_resample_matrix(rw, src_w))
+    img = image.astype(jnp.float32)
+    resized = jnp.einsum(
+        "oh,hwc->owc", ry, img, precision=jax.lax.Precision.HIGHEST
+    )
+    resized = jnp.einsum(
+        "owc,pw->opc", resized, rx, precision=jax.lax.Precision.HIGHEST
+    )
+    # uint8 truncation parity with the reference kernel's final cast.
+    resized = jnp.floor(jnp.clip(resized, 0.0, 255.0))
+    padded = jnp.pad(
+        resized,
+        ((top, bottom), (left, right), (0, 0)),
+        constant_values=pad_value,
+    )
+    # BGR -> RGB, scale to [0, 1] (blobKernel semantics).
+    blob = padded[..., ::-1] * (1.0 / 255.0)
+    return blob, pparam
+
+
+def letterbox_batch(
+    images: Array, dst_height: int = 640, dst_width: int = 640
+) -> Tuple[Array, PreParams]:
+    """Batched static letterbox: [B, H, W, 3] uint8 -> [B, dst, dst, 3] f32.
+
+    All images share one size (the multi-camera case), so the resampling
+    matrices are shared and the whole batch is two batched matmuls.
+    """
+    fn = lambda im: letterbox(im, dst_height, dst_width)
+    blobs, pparams = jax.vmap(fn)(images)
+    return blobs, pparams
+
+
+def _axis_gather_lerp(
+    img: Array, pos: Array, limit: Array, offset: Array, axis: int
+) -> Array:
+    """Bilinear sample along one axis at traced positions.
+
+    ``pos``: [n] float sample coordinates relative to the crop; ``limit``:
+    crop extent (clamp to limit-1); ``offset``: crop origin in the full image.
+    """
+    low = jnp.floor(pos).astype(jnp.int32)
+    high = jnp.minimum(low + 1, limit - 1)
+    frac = (pos - low.astype(jnp.float32))[
+        (slice(None),) + (None,) * (img.ndim - 1 - axis)
+    ]
+    lo = jnp.take(img, low + offset, axis=axis)
+    hi = jnp.take(img, high + offset, axis=axis)
+    return lo.astype(jnp.float32) * (1.0 - frac) + hi.astype(jnp.float32) * frac
+
+
+def letterbox_crop(
+    image: Array,
+    crop_xywh: Array,
+    dst_height: int = 640,
+    dst_width: int = 640,
+    pad_value: float = 128.0,
+) -> Tuple[Array, PreParams]:
+    """Crop a (traced) rect out of a full image and letterbox it — fused.
+
+    Replaces the reference's host-side ``image(rect).clone()`` per car
+    (detector.cpp:417-424) followed by the CUDA preprocess: the crop never
+    materializes; the resample reads straight from the full image with the
+    crop origin folded into the gather indices.
+
+    ``crop_xywh`` is float (x, y, w, h) in full-image pixels; the reference
+    constructs an int cv::Rect from the float detection (truncation), which
+    we reproduce. Degenerate/invalid crops (w or h < 1) are clamped to 1 px;
+    callers mask those outputs.
+    """
+    src_h, src_w = int(image.shape[0]), int(image.shape[1])
+    x0 = jnp.clip(crop_xywh[0].astype(jnp.int32), 0, src_w - 1)
+    y0 = jnp.clip(crop_xywh[1].astype(jnp.int32), 0, src_h - 1)
+    cw = jnp.clip(crop_xywh[2].astype(jnp.int32), 1, src_w - x0)
+    ch = jnp.clip(crop_xywh[3].astype(jnp.int32), 1, src_h - y0)
+    cwf = cw.astype(jnp.float32)
+    chf = ch.astype(jnp.float32)
+
+    pparam = compute_pre_param(chf, cwf, dst_height, dst_width)
+    # Resized extent (in the dst frame) and integer paddings, traced.
+    from ..geometry import letterbox_padding, round_half_away
+
+    rh = round_half_away(chf / pparam.ratio).astype(jnp.int32)
+    rw = round_half_away(cwf / pparam.ratio).astype(jnp.int32)
+    top, _, left, _ = letterbox_padding(pparam)
+
+    # Sample positions for every output pixel: out pixel o maps to resized
+    # coordinate (o - pad), valid when 0 <= o - pad < resized extent;
+    # source position = (o - pad) * crop / resized.
+    oy = jnp.arange(dst_height, dtype=jnp.int32) - top
+    ox = jnp.arange(dst_width, dtype=jnp.int32) - left
+    y_valid = (oy >= 0) & (oy < rh)
+    x_valid = (ox >= 0) & (ox < rw)
+    ys = oy.astype(jnp.float32) * (chf / rh.astype(jnp.float32))
+    xs = ox.astype(jnp.float32) * (cwf / rw.astype(jnp.float32))
+    ys = jnp.clip(ys, 0.0, chf - 1.0)
+    xs = jnp.clip(xs, 0.0, cwf - 1.0)
+
+    rows = _axis_gather_lerp(image, ys, ch, y0, axis=0)  # [dst_h, W, 3]
+    out = _axis_gather_lerp(rows, xs, cw, x0, axis=1)  # [dst_h, dst_w, 3]
+    out = jnp.floor(jnp.clip(out, 0.0, 255.0))
+    mask = (y_valid[:, None] & x_valid[None, :])[..., None]
+    out = jnp.where(mask, out, pad_value)
+    blob = out[..., ::-1] * (1.0 / 255.0)
+    return blob, pparam

@@ -1,0 +1,175 @@
+"""YOLOv8 detection loss for on-TPU training/fine-tuning.
+
+The reference consumes weights trained offline by Ultralytics; this framework
+additionally provides the training step natively so the detector can be
+(re)trained on TPU pods. Loss composition follows YOLOv8: CIoU box loss +
+distribution focal loss (DFL) on the regression bins + BCE classification,
+with a center-based anchor assigner (a simplified stand-in for Ultralytics'
+task-aligned assigner: anchors whose center falls inside a ground-truth box
+are positives for that box, closest-center box winning conflicts).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.yolov8 import STRIDES, YoloConfig, anchor_points
+from ..types import Array
+
+
+class DetectionTargets(NamedTuple):
+    """Ground truth per image: fixed-capacity boxes + labels + validity."""
+
+    xywh: Array  # [B, G, 4] (x, y, w, h) top-left, input pixels
+    label: Array  # [B, G] int32
+    valid: Array  # [B, G] bool
+
+
+def _ciou(box_a: Array, box_b: Array) -> Array:
+    """Complete IoU between xyxy boxes [..., 4]."""
+    ax0, ay0, ax1, ay1 = (box_a[..., i] for i in range(4))
+    bx0, by0, bx1, by1 = (box_b[..., i] for i in range(4))
+    iw = jnp.maximum(jnp.minimum(ax1, bx1) - jnp.maximum(ax0, bx0), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay1, by1) - jnp.maximum(ay0, by0), 0.0)
+    inter = iw * ih
+    area_a = jnp.maximum(ax1 - ax0, 0.0) * jnp.maximum(ay1 - ay0, 0.0)
+    area_b = jnp.maximum(bx1 - bx0, 0.0) * jnp.maximum(by1 - by0, 0.0)
+    union = area_a + area_b - inter + 1e-7
+    iou = inter / union
+    # center distance / enclosing diagonal
+    cx_a, cy_a = (ax0 + ax1) / 2, (ay0 + ay1) / 2
+    cx_b, cy_b = (bx0 + bx1) / 2, (by0 + by1) / 2
+    rho2 = (cx_a - cx_b) ** 2 + (cy_a - cy_b) ** 2
+    ex0 = jnp.minimum(ax0, bx0)
+    ey0 = jnp.minimum(ay0, by0)
+    ex1 = jnp.maximum(ax1, bx1)
+    ey1 = jnp.maximum(ay1, by1)
+    c2 = (ex1 - ex0) ** 2 + (ey1 - ey0) ** 2 + 1e-7
+    # aspect-ratio term
+    wa = jnp.maximum(ax1 - ax0, 1e-7)
+    ha = jnp.maximum(ay1 - ay0, 1e-7)
+    wb = jnp.maximum(bx1 - bx0, 1e-7)
+    hb = jnp.maximum(by1 - by0, 1e-7)
+    v = (4 / jnp.pi**2) * (jnp.arctan(wb / hb) - jnp.arctan(wa / ha)) ** 2
+    alpha = v / (v - iou + 1 + 1e-7)
+    return iou - rho2 / c2 - alpha * v
+
+
+def _flatten_raw(raw_outputs, cfg: YoloConfig):
+    """Per-scale head maps -> (dist_logits [B, A, 4, reg], cls_logits [B, A, nc])."""
+    dists, clss = [], []
+    for box_map, cls_map in raw_outputs:
+        b, h, w, _ = box_map.shape
+        dists.append(box_map.reshape(b, h * w, 4, cfg.reg_max))
+        clss.append(cls_map.reshape(b, h * w, cfg.num_classes))
+    return (
+        jnp.concatenate(dists, axis=1).astype(jnp.float32),
+        jnp.concatenate(clss, axis=1).astype(jnp.float32),
+    )
+
+
+def detection_loss(
+    raw_outputs,
+    targets: DetectionTargets,
+    cfg: YoloConfig,
+    box_weight: float = 7.5,
+    cls_weight: float = 0.5,
+    dfl_weight: float = 1.5,
+) -> Tuple[Array, dict]:
+    """Total loss (scalar) and a metrics dict."""
+    dist_logits, cls_logits = _flatten_raw(raw_outputs, cfg)
+    b, a = cls_logits.shape[:2]
+    g = targets.xywh.shape[1]
+    points, strides = anchor_points(cfg.input_size)  # [A, 2] (stride units)
+    centers = points * strides[:, None]  # pixels
+
+    gt_x0 = targets.xywh[..., 0]
+    gt_y0 = targets.xywh[..., 1]
+    gt_x1 = gt_x0 + targets.xywh[..., 2]
+    gt_y1 = gt_y0 + targets.xywh[..., 3]
+
+    # [B, A, G]: anchor center inside the gt box
+    cx = centers[None, :, None, 0]
+    cy = centers[None, :, None, 1]
+    inside = (
+        (cx >= gt_x0[:, None])
+        & (cx < gt_x1[:, None])
+        & (cy >= gt_y0[:, None])
+        & (cy < gt_y1[:, None])
+        & targets.valid[:, None]
+    )
+    gcx = (gt_x0 + gt_x1)[:, None] / 2
+    gcy = (gt_y0 + gt_y1)[:, None] / 2
+    d2 = (cx - gcx) ** 2 + (cy - gcy) ** 2
+    d2 = jnp.where(inside, d2, jnp.inf)
+    assigned = jnp.argmin(d2, axis=-1)  # [B, A]
+    positive = jnp.any(inside, axis=-1)  # [B, A]
+
+    # Gather assigned gt quantities per anchor.
+    def gather_gt(field):  # [B, G] -> [B, A]
+        return jnp.take_along_axis(field, assigned, axis=1)
+
+    ax0 = gather_gt(gt_x0)
+    ay0 = gather_gt(gt_y0)
+    ax1 = gather_gt(gt_x1)
+    ay1 = gather_gt(gt_y1)
+    alab = gather_gt(targets.label)
+
+    # Regression targets in stride units, clipped to the DFL support.
+    sx = centers[None, :, 0]
+    sy = centers[None, :, 1]
+    s = strides[None, :]
+    ltrb_t = jnp.stack(
+        [(sx - ax0) / s, (sy - ay0) / s, (ax1 - sx) / s, (ay1 - sy) / s],
+        axis=-1,
+    )
+    ltrb_t = jnp.clip(ltrb_t, 0.0, cfg.reg_max - 1.01)
+
+    # DFL: two-hot cross-entropy between the bin distribution and the target.
+    logp = jax.nn.log_softmax(dist_logits, axis=-1)  # [B, A, 4, reg]
+    lo = jnp.floor(ltrb_t).astype(jnp.int32)
+    hi = lo + 1
+    w_hi = ltrb_t - lo
+    w_lo = 1.0 - w_hi
+    take_bin = lambda idx: jnp.take_along_axis(logp, idx[..., None], axis=-1)[..., 0]
+    dfl = -(w_lo * take_bin(lo) + w_hi * take_bin(hi))  # [B, A, 4]
+    dfl = jnp.mean(dfl, axis=-1)
+
+    # Box CIoU on decoded boxes.
+    bins = jnp.arange(cfg.reg_max, dtype=jnp.float32)
+    ltrb_p = jnp.sum(jax.nn.softmax(dist_logits, axis=-1) * bins, axis=-1)
+    px0 = sx - ltrb_p[..., 0] * s
+    py0 = sy - ltrb_p[..., 1] * s
+    px1 = sx + ltrb_p[..., 2] * s
+    py1 = sy + ltrb_p[..., 3] * s
+    ciou = _ciou(
+        jnp.stack([px0, py0, px1, py1], axis=-1),
+        jnp.stack([ax0, ay0, ax1, ay1], axis=-1),
+    )
+    box_loss = jnp.where(positive, 1.0 - ciou, 0.0)
+
+    # Classification BCE: one-hot target on positives, zeros elsewhere.
+    cls_t = (
+        jax.nn.one_hot(alab, cfg.num_classes) * positive[..., None]
+    )
+    bce = jnp.maximum(cls_logits, 0) - cls_logits * cls_t + jnp.log1p(
+        jnp.exp(-jnp.abs(cls_logits))
+    )
+    cls_loss = jnp.mean(jnp.sum(bce, axis=-1), axis=-1)  # mean over anchors
+
+    n_pos = jnp.maximum(jnp.sum(positive.astype(jnp.float32)), 1.0)
+    box_term = jnp.sum(box_loss) / n_pos
+    dfl_term = jnp.sum(jnp.where(positive, dfl, 0.0)) / n_pos
+    cls_term = jnp.mean(cls_loss)
+    total = box_weight * box_term + dfl_weight * dfl_term + cls_weight * cls_term
+    metrics = {
+        "loss": total,
+        "box_loss": box_term,
+        "dfl_loss": dfl_term,
+        "cls_loss": cls_term,
+        "num_positive": n_pos,
+    }
+    return total, metrics

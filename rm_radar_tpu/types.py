@@ -1,0 +1,189 @@
+"""Core data types of the rm_radar_tpu framework.
+
+The reference (zmsbruce/rm_radar) models detections, robots and tracks as
+heap-allocated C++ objects with ``std::optional`` fields (src/robot/robot.h,
+src/detect/detection.h). On TPU, dynamic object counts break XLA's static
+shape requirement, so every collection here is a fixed-capacity
+struct-of-arrays with an explicit validity mask — the TPU-native analogue of
+the reference's "label = NaN means suppressed" convention
+(src/detect/detector.cu:341-357).
+
+All containers are NamedTuples so they are automatically JAX pytrees and can
+flow through jit / vmap / shard_map without registration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+class Label(enum.IntEnum):
+    """Robot class labels, identical to reference src/robot/robot.h:32-45."""
+
+    BLUE_HERO = 0
+    BLUE_ENGINEER = 1
+    BLUE_INFANTRY_3 = 2
+    BLUE_INFANTRY_4 = 3
+    BLUE_INFANTRY_5 = 4
+    RED_HERO = 5
+    RED_ENGINEER = 6
+    RED_INFANTRY_3 = 7
+    RED_INFANTRY_4 = 8
+    RED_INFANTRY_5 = 9
+    BLUE_SENTRY = 10
+    RED_SENTRY = 11
+
+
+class TrackState(enum.IntEnum):
+    """Track lifecycle state (reference src/track/track.h:28), plus NONE for
+    the masked/SoA representation."""
+
+    NONE = -1
+    TENTATIVE = 0
+    CONFIRMED = 1
+    DELETED = 2
+
+
+NOT_MATCHED = -1  # reference src/track/auction.h:21
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity batch of detections.
+
+    Equivalent to ``std::vector<radar::Detection>`` (src/detect/detection.h:
+    25-68) but as struct-of-arrays with a validity mask. Boxes are stored as
+    (x, y, w, h) with (x, y) the top-left corner, matching the decoded layout
+    of the reference (src/detect/detector.cu:237-250).
+
+    Leading dimensions may include a batch axis: shapes are ``[..., N, 4]``
+    for ``xywh`` and ``[..., N]`` for the rest.
+    """
+
+    xywh: Array  # float32 [..., N, 4]
+    label: Array  # int32   [..., N], -1 when invalid
+    confidence: Array  # float32 [..., N]
+    valid: Array  # bool    [..., N]
+
+    @property
+    def capacity(self) -> int:
+        return self.xywh.shape[-2]
+
+    def count(self) -> Array:
+        return jnp.sum(self.valid.astype(jnp.int32), axis=-1)
+
+    @staticmethod
+    def empty(n: int, batch_shape: tuple = ()) -> "Detections":
+        shape = tuple(batch_shape) + (n,)
+        return Detections(
+            xywh=jnp.zeros(shape + (4,), jnp.float32),
+            label=jnp.full(shape, -1, jnp.int32),
+            confidence=jnp.zeros(shape, jnp.float32),
+            valid=jnp.zeros(shape, bool),
+        )
+
+
+class PreParams(NamedTuple):
+    """Letterbox transform record, one row per image.
+
+    Equivalent to ``radar::detect::PreParam`` (src/detect/preparam.h:46-52):
+    ``ratio`` is the scale from network input back to the source image,
+    ``dw``/``dh`` are the half-paddings in network-input pixels.
+    """
+
+    width: Array  # float32 [...]: source image width
+    height: Array  # float32 [...]: source image height
+    ratio: Array  # float32 [...]
+    dw: Array  # float32 [...]
+    dh: Array  # float32 [...]
+
+
+class RobotBatch(NamedTuple):
+    """Fixed-capacity batch of fused robot observations.
+
+    Equivalent to ``std::vector<radar::Robot>`` (src/robot/robot.h:53-164)
+    in struct-of-arrays form. A robot may independently be detected
+    (``detected``), located (``located``) and tracked (``track_state >= 0``),
+    mirroring the all-optional fields of the reference.
+
+    Shapes: R = robot capacity, A = armor capacity per robot.
+    """
+
+    # Detection state (reference robot.cpp:41-74)
+    rect: Array  # float32 [R, 4] car bbox xywh in full-image pixels
+    label: Array  # int32   [R], -1 when no armor evidence
+    confidence: Array  # float32 [R]
+    detected: Array  # bool    [R]: has at least one armor (isDetected)
+    valid: Array  # bool    [R]: slot holds a real car detection
+    armor_xywh: Array  # float32 [R, A, 4] in full-image pixels
+    armor_label: Array  # int32   [R, A]
+    armor_conf: Array  # float32 [R, A]
+    armor_valid: Array  # bool    [R, A]
+    # Location state (meters; reference robot.h:93-95 converts mm -> m)
+    location: Array  # float32 [R, 3]
+    located: Array  # bool    [R]
+    # Track state (reference robot.h:119-127)
+    track_state: Array  # int32 [R], TrackState values, NONE=-1
+
+    @property
+    def capacity(self) -> int:
+        return self.rect.shape[0]
+
+    @staticmethod
+    def empty(num_robots: int, num_armors: int) -> "RobotBatch":
+        r, a = num_robots, num_armors
+        return RobotBatch(
+            rect=jnp.zeros((r, 4), jnp.float32),
+            label=jnp.full((r,), -1, jnp.int32),
+            confidence=jnp.zeros((r,), jnp.float32),
+            detected=jnp.zeros((r,), bool),
+            valid=jnp.zeros((r,), bool),
+            armor_xywh=jnp.zeros((r, a, 4), jnp.float32),
+            armor_label=jnp.full((r, a), -1, jnp.int32),
+            armor_conf=jnp.zeros((r, a), jnp.float32),
+            armor_valid=jnp.zeros((r, a), bool),
+            location=jnp.zeros((r, 3), jnp.float32),
+            located=jnp.zeros((r,), bool),
+            track_state=jnp.full((r,), int(TrackState.NONE), jnp.int32),
+        )
+
+    def feature(self, class_num: int) -> Array:
+        """Per-robot class-confidence feature, L1-normalized.
+
+        Equivalent to ``Robot::feature`` (reference src/robot/robot.cpp:
+        102-122): sums armor confidences per class, normalizes by the total;
+        all-zeros when the robot has no armors.
+
+        Returns float32 [R, class_num].
+        """
+        r, a = self.armor_label.shape
+        one_hot = (
+            self.armor_label[..., None]
+            == jnp.arange(class_num, dtype=jnp.int32)
+        ) & self.armor_valid[..., None]
+        feat = jnp.sum(
+            one_hot.astype(jnp.float32) * self.armor_conf[..., None], axis=-2
+        )
+        total = jnp.sum(feat, axis=-1, keepdims=True)
+        feat = jnp.where(total > 0, feat / jnp.where(total > 0, total, 1.0), 0.0)
+        return jnp.where(self.detected[:, None], feat, 0.0)
+
+
+@dataclasses.dataclass
+class Frame:
+    """Host-side input frame: an image, a point cloud and a timestamp.
+
+    Equivalent to the reference ``Frame`` (samples/frame.h:27-84). The image
+    is uint8 HWC in BGR channel order (matching cv::imread); the point cloud
+    is float32 [N, 3] in millimeters; the timestamp is float seconds.
+    """
+
+    image: Optional[np.ndarray] = None
+    point_cloud: Optional[np.ndarray] = None
+    timestamp: Optional[float] = None

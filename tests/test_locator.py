@@ -1,0 +1,164 @@
+"""Locator tests with identity calibration and synthetic data, mirroring
+reference test/locate/locator_test.cpp: transform round trips, background /
+diff behavior, two synthetic blobs -> two clusters, and bbox search.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rm_radar_tpu.configs import LocatorConfig
+from rm_radar_tpu.geometry import LidarCalib
+from rm_radar_tpu.locate import locator as loc
+
+
+def _identity_calib(zoom=0.5):
+    return LidarCalib.create(np.eye(3), np.eye(4), np.eye(4), zoom)
+
+
+# Like the reference locator test (locator_test.cpp:15-29), identity
+# calibration forces scaled-down units: with K = I a pixel step is ~depth in
+# metric units, so thresholds are chosen for depths of ~10-20 units.
+CFG = LocatorConfig(
+    image_width=128,
+    image_height=96,
+    zoom_factor=0.5,
+    min_depth_diff=0.5,
+    max_depth_diff=4.0,
+    cluster_tolerance=100.0,
+    min_cluster_size=8,
+    max_cluster_size=1000,
+    max_distance=1e9,
+    max_points=512,
+    max_foreground=256,
+    cc_iterations=8,
+)
+CAL = _identity_calib()
+
+
+def _cloud(points):
+    out = np.zeros((CFG.max_points, 3), np.float32)
+    pts = np.asarray(points, np.float32)
+    out[: len(pts)] = pts
+    return jnp.asarray(out)
+
+
+def _point_at_pixel(u, v, depth):
+    """Inverse of the identity-calibration projection: a lidar point that
+    lands on zoomed pixel (u, v) with the given depth."""
+    return [u / CFG.zoom_factor * depth, v / CFG.zoom_factor * depth, depth]
+
+
+def test_projection_scatter_max():
+    # Two points on the same pixel: deterministic max depth wins.
+    pts = _cloud(
+        [_point_at_pixel(0.02, 0.03, 5.0), _point_at_pixel(0.02, 0.03, 6.0)]
+    )
+    depth, _ = loc.project_cloud(pts, CAL, CFG)
+    # u = 0.02 * 5000 -> pixel (int) truncation
+    d = np.asarray(depth)
+    assert d.max() == 6.0
+    assert np.count_nonzero(d) == 1
+
+
+def test_zero_points_and_distance_filter():
+    pts = _cloud(
+        [
+            [0.0, 0.0, 0.0],  # dropped: all-zero
+            _point_at_pixel(0.01, 0.01, 4.0),
+        ]
+    )
+    # x > max_distance is dropped
+    far = np.asarray(pts).copy()
+    far[1, 0] = CFG.max_distance + 1
+    depth_far, _ = loc.project_cloud(jnp.asarray(far), CAL, CFG)
+    assert np.count_nonzero(np.asarray(depth_far)) == 0
+    depth, _ = loc.project_cloud(pts, CAL, CFG)
+    assert np.count_nonzero(np.asarray(depth)) == 1
+
+
+def test_update_background_and_diff():
+    state = loc.make_state(CFG)
+    # Background frame: deep wall at depth 20.
+    wall = _cloud([_point_at_pixel(0.1, 0.1, 20.0)])
+    state, diff = loc.update(state, wall, CAL, CFG)
+    assert np.count_nonzero(np.asarray(diff)) == 0  # no diff vs itself
+
+    # Object appears 2.0 in front of the wall (within the 0.5..4 window).
+    obj = _cloud([_point_at_pixel(0.1, 0.1, 18.0)])
+    state, diff = loc.update(state, obj, CAL, CFG)
+    d = np.asarray(diff)
+    assert np.count_nonzero(d) == 1
+    assert d.max() == np.float32(18.0)
+
+    # Too-small diff (0.1) is not foreground.
+    near_wall = _cloud([_point_at_pixel(0.1, 0.1, 19.9)])
+    state, diff = loc.update(state, near_wall, CAL, CFG)
+    # Queue still holds the 18.0 frame (newest-wins per pixel: the 19.9
+    # frame overwrote the pixel in the newest image but older queued images
+    # still qualify).
+    d = np.asarray(diff)
+    assert d.max() == np.float32(18.0)
+
+
+def _blob_cloud(cx_px, cy_px, depth, radius_px=2):
+    """A dense blob of points around a zoomed pixel center, all at ~depth."""
+    pts = []
+    for dv in range(-radius_px, radius_px + 1):
+        for du in range(-radius_px, radius_px + 1):
+            pts.append(_point_at_pixel(cx_px + du, cy_px + dv, depth))
+    return pts
+
+
+def test_cluster_two_blobs():
+    state = loc.make_state(CFG)
+    # Background: wall at 20.0 across the blobs' pixels.
+    bg = _blob_cloud(20, 20, 20.0) + _blob_cloud(40, 30, 20.0)
+    state, _ = loc.update(state, _cloud(bg), CAL, CFG)
+    # Two foreground blobs well inside the diff window.
+    fgpts = _blob_cloud(20, 20, 18.0) + _blob_cloud(40, 30, 18.0)
+    state, diff = loc.update(state, _cloud(fgpts), CAL, CFG)
+    fg = loc.cluster(diff, CAL, CFG)
+    labels = np.asarray(fg.cluster)[np.asarray(fg.valid)]
+    roots = np.unique(labels[labels >= 0])
+    assert len(roots) == 2
+
+
+def test_search_finds_blob_centroid():
+    state = loc.make_state(CFG)
+    bg = _blob_cloud(20, 20, 20.0)
+    state, _ = loc.update(state, _cloud(bg), CAL, CFG)
+    state, diff = loc.update(state, _cloud(_blob_cloud(20, 20, 18.0)), CAL, CFG)
+    fg = loc.cluster(diff, CAL, CFG)
+    # Full-image bbox covering the blob: zoomed pixel 20 -> full-image 40.
+    rect = jnp.asarray([20.0, 20.0, 40.0, 40.0])
+    location, located = loc.search_one(rect, fg, CAL, CFG)
+    assert bool(located)
+    # Identity calibration: world == lidar; mm -> m scaling applies.
+    np.testing.assert_allclose(float(location[2]), 0.018, rtol=1e-3)
+
+
+def test_search_misses_outside_bbox():
+    state = loc.make_state(CFG)
+    state, _ = loc.update(state, _cloud(_blob_cloud(20, 20, 20.0)), CAL, CFG)
+    state, diff = loc.update(state, _cloud(_blob_cloud(20, 20, 18.0)), CAL, CFG)
+    fg = loc.cluster(diff, CAL, CFG)
+    rect = jnp.asarray([180.0, 150.0, 40.0, 40.0])  # elsewhere
+    _, located = loc.search_one(rect, fg, CAL, CFG)
+    assert not bool(located)
+
+
+def test_cluster_size_gate():
+    # A 2-point blob is below min_cluster_size=8 -> demoted to noise (-1),
+    # but still usable by search as the unclustered group.
+    state = loc.make_state(CFG)
+    tiny_bg = [_point_at_pixel(20, 20, 20.0), _point_at_pixel(21, 20, 20.0)]
+    state, _ = loc.update(state, _cloud(tiny_bg), CAL, CFG)
+    tiny = [_point_at_pixel(20, 20, 18.0), _point_at_pixel(21, 20, 18.0)]
+    state, diff = loc.update(state, _cloud(tiny), CAL, CFG)
+    fg = loc.cluster(diff, CAL, CFG)
+    labels = np.asarray(fg.cluster)[np.asarray(fg.valid)]
+    assert np.all(labels == -1)
+    rect = jnp.asarray([20.0, 20.0, 40.0, 40.0])
+    location, located = loc.search_one(rect, fg, CAL, CFG)
+    assert bool(located)
+    np.testing.assert_allclose(float(location[2]), 0.018, rtol=1e-3)
