@@ -325,8 +325,11 @@ def create_model(
 
 
 def init_params(model: YoloV8, rng: jax.Array, batch: int = 1):
-    """Initialize parameters (and batch stats) for the configured input size."""
+    """Initialize parameters (and batch stats) for the configured input size.
+
+    Wrapped in jit: one compiled program instead of hundreds of eager ops
+    (matters on remote-tunneled devices where each eager op is a compile).
+    """
     h, w = model.cfg.input_size
     dummy = jnp.zeros((batch, h, w, 3), model.dtype)
-    variables = model.init(rng, dummy)
-    return variables
+    return jax.jit(model.init)(rng, dummy)

@@ -102,25 +102,115 @@ class Radar:
             self._jitted[key] = jax.jit(fn, donate_argnums=(0,))
         return self._jitted[key]
 
+    # ------------------------------------------------------- multi-camera
+
+    def make_batch_state(self, n_cameras: int):
+        """Per-camera locator states stacked on a leading batch axis."""
+        one = locate_mod.make_state(self.config.locator)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_cameras,) + x.shape).copy(), one
+        )
+
+    def batch_step(self, mesh=None):
+        """Jitted fused step over a camera batch: vmap of the per-frame
+        program; with a mesh, the camera axis is sharded over DATA_AXIS so
+        each chip runs its cameras' pipelines locally (ICI only touches the
+        initial placement — there is no cross-camera communication).
+
+        Returns fn(states, images [B,H,W,3] u8, points [B,N,3]) ->
+        (RobotBatch with leading camera axis, new states).
+        """
+        fn = jax.vmap(self._frame_fn)
+        if mesh is None:
+            return jax.jit(fn, donate_argnums=(0,))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS
+
+        batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(
+            fn,
+            in_shardings=(batch_sharding, batch_sharding, batch_sharding),
+            out_shardings=(batch_sharding, batch_sharding),
+            donate_argnums=(0,),
+        )
+
+    def run_batch(
+        self,
+        images: np.ndarray,
+        clouds: np.ndarray,
+        timestamps,
+        states=None,
+        trackers=None,
+        mesh=None,
+    ):
+        """Host convenience: one multi-camera step + per-camera tracking.
+
+        images: [B, H, W, 3] uint8; clouds: [B, N, 3] mm (padded);
+        timestamps: [B] seconds. Returns (list of per-camera robot lists,
+        states, trackers).
+        """
+        b = images.shape[0]
+        if states is None:
+            states = self.make_batch_state(b)
+        if trackers is None:
+            trackers = [Tracker(self.config.tracker) for _ in range(b)]
+        key = ("batch", images.shape, mesh is not None)
+        if key not in self._jitted:
+            self._jitted[key] = self.batch_step(mesh)
+        batch, states = self._jitted[key](states, images, clouds)
+        host = jax.tree_util.tree_map(np.asarray, batch)
+        results = []
+        for i in range(b):
+            cam = jax.tree_util.tree_map(lambda x: x[i], host)
+            saved = self.tracker
+            self.tracker = trackers[i]
+            try:
+                results.append(
+                    self._collect_host(cam, float(timestamps[i]))
+                )
+            finally:
+                self.tracker = saved
+        return results, states, trackers
+
     # ----------------------------------------------------------------- host
 
     def update_background_cloud(self, cloud: np.ndarray) -> None:
         """Prime the background depth model from a pre-recorded cloud
-        (SampleRadar::updateBackgroundCloud, sample_radar.h:90-99)."""
-        self.locator.update(cloud)
+        (SampleRadar::updateBackgroundCloud, sample_radar.h:90-99).
+
+        Runs the *fused* frame program on a black image so no extra XLA
+        program is compiled (the reference's updateBackgroundCloud likewise
+        just calls Locator::update, including the queue push). Detection
+        results are discarded.
+        """
+        lc = self.config.locator
+        image = np.zeros((lc.image_height, lc.image_width, 3), np.uint8)
+        points = pad_points(cloud, lc.max_points)
+        step = self._get_jitted(("frame", tuple(image.shape)), self._frame_fn)
+        _, self.locator.state = step(self.locator.state, image, points)
+
+    def _prepare_inputs(self, frame: Frame):
+        image = frame.image
+        if isinstance(image, np.ndarray):
+            image = np.ascontiguousarray(image)
+        cloud = frame.point_cloud
+        max_points = self.config.locator.max_points
+        if cloud is None:
+            cloud = np.zeros((max_points, 3), np.float32)
+        elif isinstance(cloud, np.ndarray) and cloud.shape != (max_points, 3):
+            cloud = pad_points(cloud, max_points)
+        return image, cloud
 
     def run_once(self, frame: Frame) -> List[Robot]:
-        """Process one frame end-to-end; returns host Robot records."""
-        image = np.ascontiguousarray(frame.image)
-        points = pad_points(
-            frame.point_cloud
-            if frame.point_cloud is not None
-            else np.zeros((0, 3), np.float32),
-            self.config.locator.max_points,
-        )
-        step = self._get_jitted(
-            ("frame", image.shape), self._frame_fn
-        )
+        """Process one frame end-to-end; returns host Robot records.
+
+        ``frame.image`` / ``frame.point_cloud`` may be host numpy (transferred
+        here) or already device-resident jax arrays (e.g. staged by a camera
+        DMA pipeline) — the fused step consumes either.
+        """
+        image, points = self._prepare_inputs(frame)
+        step = self._get_jitted(("frame", tuple(image.shape)), self._frame_fn)
         batch, self.locator.state = step(self.locator.state, image, points)
         return self._track_and_collect(batch, frame.timestamp or 0.0)
 
@@ -130,8 +220,22 @@ class Radar:
         """Fetch the compact RobotBatch, run the host tracker, and assemble
         reference-style Robot records."""
         host = jax.tree_util.tree_map(np.asarray, batch)
+        return self._collect_host(host, timestamp)
+
+    def _collect_host(self, host: RobotBatch, timestamp: float) -> List[Robot]:
         class_num = self.config.tracker.class_num
-        feats = np.asarray(batch.feature(class_num))
+        # Robot::feature (robot.cpp:102-122) on host numpy — tiny arrays,
+        # avoids per-frame eager device dispatches.
+        r, a = host.armor_label.shape
+        one_hot = (
+            host.armor_label[..., None] == np.arange(class_num)
+        ) & host.armor_valid[..., None]
+        feats = np.sum(
+            one_hot * host.armor_conf[..., None], axis=1, dtype=np.float32
+        )
+        totals = feats.sum(axis=-1, keepdims=True)
+        np.divide(feats, totals, out=feats, where=totals > 0)
+        feats[~host.detected] = 0.0
 
         robots: List[Robot] = []
         observations: List[RobotObservation] = []

@@ -108,25 +108,40 @@ def test_letterbox_bgr_to_rgb():
 
 
 def test_letterbox_crop_matches_static_path(rng):
-    """Cropping with the fused gather path must equal materializing the crop
-    and running the static matmul path."""
+    """Cropping with the fused paths (MXU-matmul and gather formulations)
+    must equal materializing the crop and running the static matmul path."""
     img = rng.integers(0, 256, size=(100, 120, 3), dtype=np.uint8)
     x, y, w, h = 10, 20, 60, 40
     crop = img[y : y + h, x : x + w]
     blob_static, pp_static = preprocess.letterbox(jnp.asarray(crop), 64, 64)
-    blob_fused, pp_fused = preprocess.letterbox_crop(
-        jnp.asarray(img), jnp.asarray([x, y, w, h], jnp.float32), 64, 64
-    )
-    assert np.isclose(float(pp_static.ratio), float(pp_fused.ratio))
-    assert np.isclose(float(pp_static.dw), float(pp_fused.dw))
-    assert np.isclose(float(pp_static.dh), float(pp_fused.dh))
-    np.testing.assert_allclose(
-        np.asarray(blob_fused), np.asarray(blob_static), atol=1.01 / 255.0
-    )
-    # Exact match on >99% of pixels (floating-point reassociation can flip a
-    # truncation boundary on a handful of pixels).
-    exact = np.mean(np.asarray(blob_fused) == np.asarray(blob_static))
-    assert exact > 0.99
+    for method in ("mxu", "gather"):
+        blob_fused, pp_fused = preprocess.letterbox_crop(
+            jnp.asarray(img),
+            jnp.asarray([x, y, w, h], jnp.float32),
+            64,
+            64,
+            method=method,
+        )
+        assert np.isclose(float(pp_static.ratio), float(pp_fused.ratio))
+        assert np.isclose(float(pp_static.dw), float(pp_fused.dw))
+        assert np.isclose(float(pp_static.dh), float(pp_fused.dh))
+        np.testing.assert_allclose(
+            np.asarray(blob_fused), np.asarray(blob_static), atol=1.01 / 255.0
+        )
+        # Exact on >99% of pixels (fp reassociation can flip a truncation
+        # boundary on isolated pixels).
+        exact = np.mean(np.asarray(blob_fused) == np.asarray(blob_static))
+        assert exact > 0.99, method
+
+
+def test_letterbox_crop_edge_cases(rng):
+    img = rng.integers(0, 256, size=(50, 60, 3), dtype=np.uint8)
+    # Degenerate and out-of-range crops must not crash (masked by callers).
+    for rect in ([0.0, 0.0, 0.0, 0.0], [55.0, 45.0, 30.0, 30.0], [-5.0, -5.0, 20.0, 20.0]):
+        blob, _ = preprocess.letterbox_crop(
+            jnp.asarray(img), jnp.asarray(rect, jnp.float32), 32, 32
+        )
+        assert np.isfinite(np.asarray(blob)).all()
 
 
 def test_letterbox_batch():
