@@ -14,6 +14,8 @@ Flags (env):
                  car count, typically <= 6-8 — see SURVEY.md §2.7)
   BENCH_VARIANT  yolov8 variant for both stages (default "m", the variant
                  behind the reference's headline numbers)
+  BENCH_MODE     "stream" (default): pipelined single-camera ms/frame p50;
+                 "batch8": 8-camera batched step, reports frames/sec/chip
 """
 
 import json
@@ -28,6 +30,57 @@ BASELINE_MS = 11.0  # reference full pipeline on RTX 3060 Ti (README.md:38)
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
+    """8-camera batched throughput: frames/sec/chip (BASELINE.json metric)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from rm_radar_tpu.utils.io import pad_points
+
+    b = 8
+    imgs = jax.device_put(
+        np.stack([np.ascontiguousarray(images[i % len(images)]) for i in range(b)])
+    )
+    clds = jax.device_put(
+        np.stack(
+            [
+                pad_points(clouds[i % len(clouds)], radar.config.locator.max_points)
+                for i in range(b)
+            ]
+        )
+    )
+    jax.block_until_ready([imgs, clds])
+    states = radar.make_batch_state(b)
+    step = radar.batch_step()
+    t0 = time.perf_counter()
+    batch, states = step(states, imgs, clds)
+    jax.block_until_ready(batch)
+    log(f"batch8 compile+first: {time.perf_counter() - t0:.1f}s")
+
+    n_steps = max(n_frames // b, 5)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        batch, states = step(states, imgs, clds)
+    jax.block_until_ready(batch)
+    dt = (time.perf_counter() - t0) / n_steps
+    fps = b / dt
+    log(f"batch8: {dt * 1e3:.2f} ms/step -> {fps:.1f} frames/sec/chip")
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip at batch-8 multi-camera "
+                f"(2592x2048, yolov8{variant} cascade, {max_cars}-car armor batch)",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / (1000.0 / BASELINE_MS), 3),
+            }
+        )
+    )
+    return 0
 
 
 def main() -> int:
@@ -77,6 +130,9 @@ def main() -> int:
     )
     radar = Radar(config, car_variant=variant, armor_variant=variant)
 
+    if os.environ.get("BENCH_MODE") == "batch8":
+        return bench_batch8(radar, images, clouds, variant, max_cars, n_frames)
+
     t0 = time.perf_counter()
     if background is not None:
         radar.update_background_cloud(background)
@@ -108,17 +164,38 @@ def main() -> int:
     )
     log(f"first frame: {time.perf_counter() - t0:.1f}s")
 
-    times = []
-    for i in range(n_frames):
-        img = dev_images[i % len(images)]
-        cloud = dev_clouds[i % len(clouds)]
+    # Sync latency (run_once: dispatch + fetch + track per frame).
+    sync_times = []
+    for i in range(5):
         t0 = time.perf_counter()
         radar.run_once(
-            Frame(image=img, point_cloud=cloud, timestamp=0.1 * (i + 1))
+            Frame(
+                image=dev_images[i % len(images)],
+                point_cloud=dev_clouds[i % len(clouds)],
+                timestamp=0.1 * (i + 1),
+            )
         )
-        times.append(time.perf_counter() - t0)
+        sync_times.append(time.perf_counter() - t0)
+    log(f"sync latency p50: {np.percentile(sync_times, 50) * 1e3:.2f} ms")
 
-    times_ms = np.asarray(times) * 1e3
+    # Pipelined loop (run_stream): the steady-state per-frame cost, like the
+    # reference's avg-per-frame over its sample loop.
+    def frame_gen():
+        for i in range(n_frames):
+            yield Frame(
+                image=dev_images[i % len(images)],
+                point_cloud=dev_clouds[i % len(clouds)],
+                timestamp=1.0 + 0.1 * i,
+            )
+
+    times = []
+    t_prev = time.perf_counter()
+    for _ in radar.run_stream(frame_gen()):
+        now = time.perf_counter()
+        times.append(now - t_prev)
+        t_prev = now
+
+    times_ms = np.asarray(times[1:]) * 1e3  # drop pipeline fill
     p50 = float(np.percentile(times_ms, 50))
     p99 = float(np.percentile(times_ms, 99))
     log(

@@ -124,8 +124,11 @@ class LocatorConfig:
     max_distance: float = 29300.0
     # TPU-specific fixed capacities.
     max_points: int = 16384  # input cloud capacity (zero-padded)
-    max_foreground: int = 4096  # foreground pixels entering clustering
-    cc_iterations: int = 16  # label-propagation rounds (with pointer jumping)
+    # Foreground pixels entering clustering: ~10k-point clouds at 60% FOV
+    # coverage yield far fewer foreground pixels than 2048; clusters are
+    # capped at 1000 points anyway (max_cluster_size).
+    max_foreground: int = 2048
+    cc_iterations: int = 10  # label-propagation rounds (with pointer jumping)
 
     @property
     def zoomed_width(self) -> int:

@@ -19,7 +19,16 @@ def load_pcd(path: str) -> np.ndarray:
 
     Supports ``DATA ascii`` and ``DATA binary`` for FIELDS x y z (the format
     of the bundled assets/clouds/*.pcd, which store values in millimeters).
+    Uses the native C++ parser when built (tools/build_native.sh); falls back
+    to this pure-Python implementation otherwise.
     """
+    from ..native import available, parse_pcd_bytes
+
+    if available():
+        with open(path, "rb") as f:
+            result = parse_pcd_bytes(f.read())
+        if result is not None:
+            return result
     with open(path, "rb") as f:
         header = {}
         data_mode = None
