@@ -58,14 +58,20 @@ def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
     step = radar.batch_step()
     t0 = time.perf_counter()
     batch, states = step(states, imgs, clds)
-    jax.block_until_ready(batch)
+    _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
     log(f"batch8 compile+first: {time.perf_counter() - t0:.1f}s")
 
+    # Chain a checksum through the loop and fetch it once at the end: the
+    # data dependency forces every step to actually execute (on lazy/remote
+    # backends block_until_ready alone does not).
     n_steps = max(n_frames // b, 5)
     t0 = time.perf_counter()
+    checksum = None
     for _ in range(n_steps):
         batch, states = step(states, imgs, clds)
-    jax.block_until_ready(batch)
+        s = batch.confidence.sum()
+        checksum = s if checksum is None else checksum + s
+    _ = float(checksum)
     dt = (time.perf_counter() - t0) / n_steps
     fps = b / dt
     log(f"batch8: {dt * 1e3:.2f} ms/step -> {fps:.1f} frames/sec/chip")

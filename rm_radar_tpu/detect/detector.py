@@ -80,10 +80,13 @@ class Detector:
             cfg.max_detections,
         )
 
-    def detect(self, image: np.ndarray) -> Detections:
+    def detect(self, image) -> Detections:
         """Host convenience API with a per-shape jit cache (the reference
         caches serialized engines per model; XLA's jit cache is per input
-        shape)."""
+        shape). Accepts one image or a same-shape sequence of images —
+        the reference's ImageOrImages concept (detector.h:70-77)."""
+        if isinstance(image, (list, tuple)):
+            return self.detect_batch(np.stack(image))
         key = ("single", image.shape, image.dtype.str)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self.detect_fn)
