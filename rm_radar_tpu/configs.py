@@ -77,6 +77,12 @@ class RobotDetectorConfig:
     armor_conf_thresh: float = 0.50
     input_width: int = 640
     input_height: int = 640
+    # Armor-stage network input. The reference runs both stages at 640
+    # (detector.h:176-178); car crops are typically 100-400 px, so a smaller
+    # armor input (e.g. 416 or 320) cuts armor FLOPs quadratically with
+    # little information loss — exposed as a knob, 640 by default for parity.
+    armor_input_width: int = 640
+    armor_input_height: int = 640
     max_armors_per_car: int = 8
 
     def car_config(self) -> DetectorConfig:
@@ -96,8 +102,8 @@ class RobotDetectorConfig:
             max_batch_size=self.max_cars,
             nms_thresh=self.armor_nms_thresh,
             conf_thresh=self.armor_conf_thresh,
-            input_width=self.input_width,
-            input_height=self.input_height,
+            input_width=self.armor_input_width,
+            input_height=self.armor_input_height,
             max_detections=self.max_armors_per_car,
         )
 

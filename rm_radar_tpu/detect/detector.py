@@ -198,8 +198,11 @@ class RobotDetector:
         crop_fn = functools.partial(
             letterbox_crop,
             image,
-            dst_height=cfg.input_height,
-            dst_width=cfg.input_width,
+            dst_height=cfg.armor_input_height,
+            dst_width=cfg.armor_input_width,
+            matmul_dtype=self.armor.model.dtype
+            if self.armor.model.dtype == jnp.bfloat16
+            else None,
         )
         blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
 

@@ -156,6 +156,7 @@ def letterbox_crop(
     dst_width: int = 640,
     pad_value: float = 128.0,
     method: str = "mxu",
+    matmul_dtype=None,
 ) -> Tuple[Array, PreParams]:
     """Crop a (traced) rect out of a full image and letterbox it — fused.
 
@@ -173,6 +174,12 @@ def letterbox_crop(
     traced weight matrices — the fast path on TPU where arbitrary gathers
     serialize; "gather" uses two one-axis gathers + lerps (bit-closest to
     the reference's 4-corner kernel; fine on CPU).
+
+    ``matmul_dtype``: optional reduced dtype (e.g. bfloat16) for the MXU
+    resample operands, accumulating in f32. Pixel values are exact in bf16;
+    the interpolation weights round to ~0.4%, bounding the error at about
+    one uint8 level — irrelevant when the blob feeds a bf16 network, so the
+    detector cascade uses bf16 here. Default None keeps exact f32.
     """
     src_h, src_w = int(image.shape[0]), int(image.shape[1])
     x0 = jnp.clip(crop_xywh[0].astype(jnp.int32), 0, src_w - 1)
@@ -203,10 +210,18 @@ def letterbox_crop(
     xs = jnp.clip(xs, 0.0, cwf - 1.0)
 
     if method == "mxu":
-        ry = _traced_resample_matrix(dst_height, src_h, ys, y0, ch)
-        rx = _traced_resample_matrix(dst_width, src_w, xs, x0, cw)
-        rows = jnp.einsum("os,swc->owc", ry, image.astype(jnp.float32))
-        out = jnp.einsum("owc,pw->opc", rows, rx)
+        mm_dtype = matmul_dtype or jnp.float32
+        ry = _traced_resample_matrix(dst_height, src_h, ys, y0, ch).astype(mm_dtype)
+        rx = _traced_resample_matrix(dst_width, src_w, xs, x0, cw).astype(mm_dtype)
+        rows = jnp.einsum(
+            "os,swc->owc",
+            ry,
+            image.astype(mm_dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(mm_dtype)
+        out = jnp.einsum(
+            "owc,pw->opc", rows, rx, preferred_element_type=jnp.float32
+        )
     else:
         rows = _axis_gather_lerp(image, ys, ch, y0, axis=0)  # [dst_h, W, 3]
         out = _axis_gather_lerp(rows, xs, cw, x0, axis=1)

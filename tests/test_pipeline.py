@@ -34,6 +34,8 @@ TINY = RadarConfig(
         max_armors_per_car=4,
         input_width=64,
         input_height=64,
+        armor_input_width=64,
+        armor_input_height=64,
         armor_conf_thresh=0.95,  # random weights: keep detections sparse
         car_conf_thresh=0.95,
     ),

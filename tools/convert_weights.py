@@ -95,14 +95,30 @@ def _map_module(parts) -> list | None:
 
 
 def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """torch state_dict -> flax variables {'params': ..., 'batch_stats': ...}."""
+    """torch state_dict -> flax variables {'params': ..., 'batch_stats': ...}.
+
+    Handles both training checkpoints (separate Conv + BatchNorm) and fused
+    exports (the Ultralytics ONNX path folds BN into the conv, which then
+    carries a bias): a fused conv bias is re-expressed as an identity
+    BatchNorm whose shift is the bias, keeping one Flax model structure.
+    """
     tree: Dict[str, Any] = {"params": {}, "batch_stats": {}}
+    fused_biases = []  # (module_path, bias array) for BN-folded convs
     for name, tensor in state_dict.items():
         parts = name.split(".")
         if parts[0] == "model":
             parts = parts[1:]
         mapped = _map_module(parts)
         if mapped is None:
+            continue
+        if (
+            len(mapped) >= 2
+            and mapped[-2] == "conv"
+            and mapped[-1] == "bias"
+        ):
+            fused_biases.append(
+                (mapped[:-2], tensor.detach().cpu().numpy())
+            )
             continue
         res = _convert_tensor(mapped, tensor)
         if res is None:
@@ -112,6 +128,25 @@ def convert_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         for p in flax_parts[:-1]:
             node = node.setdefault(p, {})
         node[flax_parts[-1]] = arr
+
+    eps = 1e-3  # matches the model's BatchNorm epsilon
+    for module_path, bias in fused_biases:
+        c = bias.shape[0]
+        pnode = tree["params"]
+        snode = tree["batch_stats"]
+        for p in module_path:
+            pnode = pnode.setdefault(p, {})
+            snode = snode.setdefault(p, {})
+        if "bn" in pnode:
+            continue  # real BN present; the bias was something else
+        pnode["bn"] = {
+            "scale": np.ones(c, np.float32),
+            "bias": np.asarray(bias, np.float32),
+        }
+        snode["bn"] = {
+            "mean": np.zeros(c, np.float32),
+            "var": np.full(c, 1.0 - eps, np.float32),
+        }
     return tree
 
 
