@@ -135,6 +135,11 @@ class LocatorConfig:
     # capped at 1000 points anyway (max_cluster_size).
     max_foreground: int = 2048
     cc_iterations: int = 10  # label-propagation rounds (with pointer jumping)
+    # Foreground compaction strategy: False (default) = blocked two-stage
+    # XLA compaction (fastest measured); True = the Pallas sparse-scan
+    # kernel (correct everywhere, but Mosaic loop overhead makes it slower
+    # on current toolchains — see ops/pallas_kernels.py).
+    use_pallas_compaction: bool = False
 
     @property
     def zoomed_width(self) -> int:

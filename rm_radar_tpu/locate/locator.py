@@ -193,22 +193,17 @@ def cluster(
     """
     h, w = diff.shape
     n = config.max_foreground
-    flat = diff.reshape(-1)
-    # First-n foreground pixels in scan order via top_k over negated indices:
-    # jnp.nonzero(size=n) lowers to a full-image scatter (~13 ms on v5e for
-    # 1.3M pixels) while top_k is ~4.5x faster for the same result.
-    keys = jnp.where(
-        flat != 0.0,
-        -jnp.arange(h * w, dtype=jnp.float32),
-        -jnp.inf,
-    )
-    top_vals, idx = jax.lax.top_k(keys, n)
-    idx = jnp.where(jnp.isfinite(top_vals), idx, h * w)
-    valid = idx < h * w
+    # First-n foreground pixels in scan order. Lowerings, fastest first:
+    # Pallas sparse-scan kernel (ops/pallas_kernels.py), top_k over negated
+    # indices (~2.8 ms at 1.3M px), jnp.nonzero (full-image scatter, ~13 ms).
+    from ..ops.pallas_kernels import foreground_compact
+
+    idx, d = foreground_compact(diff, n, use_pallas=config.use_pallas_compaction)
+    valid = idx >= 0
+    idx = jnp.where(valid, idx, h * w)
     safe = jnp.minimum(idx, h * w - 1)
     v = (safe // w).astype(jnp.float32)
     u = (safe % w).astype(jnp.float32)
-    d = flat[safe]
     uvd = jnp.stack([u, v, d], axis=-1)
     points = camera_to_lidar(uvd, calib)
 
