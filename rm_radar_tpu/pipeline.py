@@ -56,6 +56,30 @@ class Robot:
         return self.track_state is not None
 
 
+def _enable_compilation_cache() -> None:
+    """Turn on XLA's persistent compilation cache (idempotent).
+
+    Plays the role of the reference's serialized-engine cache
+    (detector.cpp:74-99): the first run compiles, later processes load the
+    compiled programs from disk. Opt out with JAX_COMPILATION_CACHE_DIR="".
+    """
+    import os
+
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/rm_radar_jax_cache"
+    )
+    if not path:
+        return
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 class Radar:
     """Full pipeline owner (SampleRadar equivalent)."""
 
@@ -68,6 +92,7 @@ class Radar:
         armor_variables: Any = None,
         dtype: Any = jnp.bfloat16,
     ):
+        _enable_compilation_cache()
         self.config = config or RadarConfig()
         self.detector = RobotDetector(
             self.config.detector,
