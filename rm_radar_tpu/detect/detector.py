@@ -59,6 +59,10 @@ class Detector:
         )
         if variables is None:
             variables = init_params(self.model, jax.random.PRNGKey(rng_seed))
+        else:
+            from ..models.weights import maybe_adapt_stem
+
+            variables = maybe_adapt_stem(variables, self.model_cfg.s2d_stem)
         self.variables = variables
         self._jitted = {}
 

@@ -48,3 +48,56 @@ def load_variables(path: str) -> Dict[str, Any]:
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     return _unflatten(flat)
+
+
+def stem_kernel_to_s2d(kernel: np.ndarray) -> np.ndarray:
+    """Exact re-expression of a k3/s2 stem conv kernel [3, 3, C, O] as the
+    equivalent k2/s1 kernel [2, 2, 4C, O] over the 2x2 space-to-depth input
+    (channel order (p, q, c); output pixel (i, j) reads s2d rows i-1..i with
+    top/left padding 1). Numerically identical convolution.
+    """
+    k = np.asarray(kernel)
+    assert k.shape[:2] == (3, 3), k.shape
+    c, o = k.shape[2], k.shape[3]
+    w2 = np.zeros((2, 2, 4 * c, o), k.dtype)
+    for a in range(2):
+        for b in range(2):
+            for p in range(2):
+                for q in range(2):
+                    dy = 2 * (a - 1) + p + 1
+                    dx = 2 * (b - 1) + q + 1
+                    if 0 <= dy < 3 and 0 <= dx < 3:
+                        w2[a, b, (p * 2 + q) * c : (p * 2 + q + 1) * c] = k[dy, dx]
+    return w2
+
+
+def maybe_adapt_stem(variables: Any, wants_s2d: bool) -> Any:
+    """Adapt a checkpoint's stem kernel to/from the space-to-depth layout.
+
+    Standard checkpoints (Ultralytics conversions, non-s2d training runs)
+    carry a [3, 3, C, O] stem; a model built with ``s2d_stem=True`` expects
+    [2, 2, 4C, O]. The transform is exact, so loaders apply it silently.
+    The reverse direction (s2d checkpoint into a standard model) is not
+    generally expressible and raises.
+    """
+    try:
+        stem = variables["params"]["backbone"]["stem"]["conv"]
+    except (KeyError, TypeError):
+        return variables
+    kernel = np.asarray(stem["kernel"])
+    if wants_s2d and kernel.shape[:2] == (3, 3):
+        stem = dict(stem)
+        stem["kernel"] = stem_kernel_to_s2d(kernel)
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["backbone"] = dict(variables["params"]["backbone"])
+        variables["params"]["backbone"]["stem"] = dict(
+            variables["params"]["backbone"]["stem"]
+        )
+        variables["params"]["backbone"]["stem"]["conv"] = stem
+    elif not wants_s2d and kernel.shape[:2] == (2, 2):
+        raise ValueError(
+            "checkpoint has a space-to-depth stem; load it into a model "
+            "with s2d_stem=True"
+        )
+    return variables

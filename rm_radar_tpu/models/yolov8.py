@@ -57,7 +57,13 @@ class YoloConfig:
     variant: str = "m"
     num_classes: int = 1
     reg_max: int = 16
-    input_size: Tuple[int, int] = (640, 640)  # (H, W)
+    input_size: Tuple[int, int] = (640, 640)
+    # Space-to-depth stem: the k3/s2 stem conv on 3-channel input is
+    # feature-pack-starved on the MXU (measured 7x slower than the exact
+    # equivalent k2/s1 conv on the 2x2-space-to-depth input). Numerically
+    # identical; checkpoints with a standard stem are adapted on load
+    # (models/weights.py::adapt_stem_to_s2d).
+    s2d_stem: bool = True  # (H, W)
 
     @property
     def scales(self) -> Tuple[float, float, float]:
@@ -73,6 +79,13 @@ class YoloConfig:
         return 4 + self.num_classes
 
 
+def space_to_depth(x: Array) -> Array:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with (p, q, c) channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 class ConvBnSiLU(nn.Module):
     """Conv2d (no bias) + BatchNorm + SiLU — the Ultralytics ``Conv`` block."""
 
@@ -80,15 +93,17 @@ class ConvBnSiLU(nn.Module):
     kernel: int = 1
     stride: int = 1
     dtype: Any = jnp.float32
+    padding: Any = None  # default: SAME-style k//2
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = self.kernel // 2
+        padding = self.padding if self.padding is not None else ((p, p), (p, p))
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
+            padding=padding,
             use_bias=False,
             dtype=self.dtype,
             name="conv",
@@ -171,7 +186,18 @@ class Backbone(nn.Module):
     def __call__(self, x: Array, train: bool = False):
         d, w, r = self.cfg.scales
         dt = self.dtype
-        x = ConvBnSiLU(_ch(w, 64), 3, 2, dtype=dt, name="stem")(x, train)
+        if self.cfg.s2d_stem:
+            x = space_to_depth(x)
+            x = ConvBnSiLU(
+                _ch(w, 64),
+                kernel=2,
+                stride=1,
+                padding=((1, 0), (1, 0)),
+                dtype=dt,
+                name="stem",
+            )(x, train)
+        else:
+            x = ConvBnSiLU(_ch(w, 64), 3, 2, dtype=dt, name="stem")(x, train)
         x = ConvBnSiLU(_ch(w, 128), 3, 2, dtype=dt, name="down2")(x, train)
         x = C2f(_ch(w, 128), _depth(d, 3), True, dtype=dt, name="c2f_2")(x, train)
         x = ConvBnSiLU(_ch(w, 256), 3, 2, dtype=dt, name="down3")(x, train)

@@ -67,3 +67,32 @@ def test_raw_head_shapes():
     for (box, cls), g in zip(raw, (8, 4, 2)):
         assert box.shape == (1, g, g, 4 * cfg.reg_max)
         assert cls.shape == (1, g, g, 5)
+
+
+def test_s2d_stem_matches_standard_stem():
+    """The space-to-depth stem with the adapted kernel must reproduce the
+    standard k3/s2 stem exactly (same random weights, transformed)."""
+    import numpy as np
+    from rm_radar_tpu.models.weights import maybe_adapt_stem
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32))
+
+    from rm_radar_tpu.models.yolov8 import YoloV8
+
+    cfg_std = YoloConfig(
+        variant="n", num_classes=3, input_size=(64, 64), s2d_stem=False
+    )
+    model_std = YoloV8(cfg_std)
+    variables = init_params(model_std, jax.random.PRNGKey(7))
+    out_std = model_std.apply(variables, x)
+
+    model_s2d, _ = create_model(variant="n", num_classes=3, input_size=(64, 64))
+    assert model_s2d.cfg.s2d_stem
+    adapted = maybe_adapt_stem(
+        jax.tree_util.tree_map(np.asarray, dict(variables)), True
+    )
+    out_s2d = model_s2d.apply(adapted, x)
+    np.testing.assert_allclose(
+        np.asarray(out_s2d), np.asarray(out_std), atol=2e-4, rtol=1e-4
+    )
