@@ -80,7 +80,14 @@ class YoloConfig:
 
 
 def space_to_depth(x: Array) -> Array:
-    """[B, H, W, C] -> [B, H/2, W/2, 4C] with (p, q, c) channel order."""
+    """[B, H, W, C] -> [B, H/2, W/2, 4C] with (p, q, c) channel order.
+
+    The reshape/transpose formulation costs a ~1.9 ms layout-copy chain at
+    [8, 640, 640, 3] on v5e, but the measured alternative (four stride-2
+    slices + channel concat) is worse (+4.8 ms end-to-end) — strided slices
+    tile poorly. Kept as reshape/transpose; the long-term fix is emitting
+    the crop resample directly in s2d layout (PERF.md).
+    """
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)

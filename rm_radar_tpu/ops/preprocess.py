@@ -228,5 +228,8 @@ def letterbox_crop(
     out = jnp.floor(jnp.clip(out, 0.0, 255.0))
     mask = (y_valid[:, None] & x_valid[None, :])[..., None]
     out = jnp.where(mask, out, pad_value)
+    # NOTE: emitting the blob in bf16 was measured SLOWER (+1.3 ms e2e):
+    # a bf16 [., ., 3] tensor tiles as (16, 128) with a 3-wide minor dim —
+    # worse than f32 (8, 128). The f32 blob stands.
     blob = out[..., ::-1] * (1.0 / 255.0)
     return blob, pparam

@@ -122,10 +122,91 @@ class Radar:
         )
         return robots, state
 
+    def _frame_fn_tracked(self, carry, image, points, timestamp):
+        """Fully fused step including the batched on-device tracker: the
+        whole detect+locate+track frame is ONE XLA program; the host only
+        formats results. Tracking semantics are identical to the host
+        tracker (see tests/test_device_tracker.py)."""
+        from .track import device_tracker as dtrack
+
+        loc_state, store = carry
+        robots, loc_state = self._frame_fn(loc_state, image, points)
+        store, robots = dtrack.update(
+            store, robots, timestamp, self.config.tracker
+        )
+        return (loc_state, store), robots
+
     def _get_jitted(self, key, fn):
         if key not in self._jitted:
             self._jitted[key] = jax.jit(fn, donate_argnums=(0,))
         return self._jitted[key]
+
+    # ------------------------------------------- fully-device tracked loop
+
+    def make_tracked_state(self):
+        from .track import device_tracker as dtrack
+
+        return (
+            locate_mod.make_state(self.config.locator),
+            dtrack.make_store(self.config.tracker),
+        )
+
+    def run_once_tracked(self, frame: Frame, carry=None):
+        """One fully-on-device frame (detect+locate+track in one program).
+
+        Returns (robots, carry). Carry is (LocatorState, TrackStore); pass
+        it back on the next call. Output robots carry track-filled labels,
+        locations and states straight from the device.
+        """
+        if carry is None:
+            carry = self.make_tracked_state()
+        image, points = self._prepare_inputs(frame)
+        key = ("tracked", tuple(image.shape))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                self._frame_fn_tracked, donate_argnums=(0,)
+            )
+        carry, batch = self._jitted[key](
+            carry, image, points, float(frame.timestamp or 0.0)
+        )
+        host = RobotBatch(*jax.device_get(tuple(batch)))
+        return self._format_host(host), carry
+
+    def _format_host(self, host: RobotBatch) -> List[Robot]:
+        """Host formatting of a track-complete RobotBatch (no tracking)."""
+        robots: List[Robot] = []
+        for i in range(host.valid.shape[0]):
+            if not host.valid[i]:
+                continue
+            det = bool(host.detected[i])
+            armor_rows = None
+            if det:
+                am = host.armor_valid[i]
+                armor_rows = np.concatenate(
+                    [
+                        host.armor_xywh[i][am],
+                        host.armor_label[i][am, None].astype(np.float32),
+                        host.armor_conf[i][am, None],
+                    ],
+                    axis=-1,
+                )
+            state = int(host.track_state[i])
+            label = int(host.label[i])
+            robots.append(
+                Robot(
+                    rect=host.rect[i].copy(),
+                    label=label if label >= 0 else None,
+                    confidence=float(host.confidence[i]) if det else None,
+                    armors=armor_rows,
+                    location=(
+                        host.location[i].copy()
+                        if bool(host.located[i])
+                        else None
+                    ),
+                    track_state=TrackState(state) if state >= 0 else None,
+                )
+            )
+        return robots
 
     # ------------------------------------------------------- multi-camera
 

@@ -117,3 +117,22 @@ def test_run_batch_multicamera(radar):
         images, clouds, [0.1, 0.1], states=states, trackers=trackers, mesh=mesh
     )
     assert len(results) == 2
+
+
+@pytest.mark.slow
+def test_run_once_tracked_fully_on_device(radar):
+    """The fully-fused device-tracked step must run end-to-end and carry
+    tracker state across frames (one XLA program per frame)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    cloud = rng.uniform(1.0, 5.0, size=(100, 3)).astype(np.float32)
+    from rm_radar_tpu.types import Frame as F
+
+    carry = None
+    for t in range(3):
+        robots, carry = radar.run_once_tracked(
+            F(image=img, point_cloud=cloud, timestamp=0.1 * t), carry
+        )
+        assert isinstance(robots, list)
+    loc_state, store = carry
+    assert int(np.asarray(store.next_id)) >= 0
