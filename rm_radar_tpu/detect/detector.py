@@ -31,7 +31,7 @@ from ..configs import DetectorConfig, RobotDetectorConfig
 from ..geometry import union_iou
 from ..models.yolov8 import YoloV8, create_model, init_params
 from ..ops.detect_ops import postprocess
-from ..ops.preprocess import letterbox, letterbox_crop
+from ..ops.preprocess import letterbox, letterbox_crop, letterbox_crop_s2d
 from ..types import Array, Detections, RobotBatch, TrackState
 
 
@@ -71,7 +71,12 @@ class Detector:
         return self.model.apply(self.variables, blobs)
 
     def detect_fn(self, image: Array) -> Detections:
-        """Pure single-image path (traceable): uint8 HWC BGR -> Detections."""
+        """Pure single-image path (traceable): uint8 HWC BGR -> Detections.
+
+        (Emitting the full-frame blob in s2d layout like the armor crops was
+        measured neutral here — batch 1, static matrices — so the simple
+        static letterbox stands.)
+        """
         cfg = self.config
         blob, pparam = letterbox(image, cfg.input_height, cfg.input_width)
         raw = self.model.apply(self.variables, blob[None])[0]
@@ -198,19 +203,39 @@ class RobotDetector:
         cars = self.car.detect_fn(image)  # Detections [max_cars]
 
         # Fused crop + letterbox for every car slot (invalid slots produce
-        # garbage blobs that are masked out of the results).
-        crop_fn = functools.partial(
-            letterbox_crop,
-            image,
-            dst_height=cfg.armor_input_height,
-            dst_width=cfg.armor_input_width,
-            matmul_dtype=self.armor.model.dtype
-            if self.armor.model.dtype == jnp.bfloat16
-            else None,
+        # garbage blobs that are masked out of the results). When the armor
+        # model has a space-to-depth stem, the crop emits the s2d layout
+        # directly — the [640, 640, 3] blob never materializes.
+        use_s2d = getattr(self.armor.model, "cfg", None) is not None and getattr(
+            self.armor.model.cfg, "s2d_stem", False
         )
-        blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
-
-        raw = self.armor.raw_forward(blobs)  # [max_cars, 4+classes, A]
+        mm_dtype = (
+            self.armor.model.dtype
+            if self.armor.model.dtype == jnp.bfloat16
+            else None
+        )
+        if use_s2d:
+            crop_fn = functools.partial(
+                letterbox_crop_s2d,
+                image,
+                dst_height=cfg.armor_input_height,
+                dst_width=cfg.armor_input_width,
+                matmul_dtype=mm_dtype,
+            )
+            blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
+            raw = self.armor.model.apply(
+                self.armor.variables, blobs, pre_s2d=True
+            )
+        else:
+            crop_fn = functools.partial(
+                letterbox_crop,
+                image,
+                dst_height=cfg.armor_input_height,
+                dst_width=cfg.armor_input_width,
+                matmul_dtype=mm_dtype,
+            )
+            blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
+            raw = self.armor.raw_forward(blobs)  # [max_cars, 4+classes, A]
         acfg = self.armor.config
         armors = jax.vmap(
             lambda r, p: postprocess(

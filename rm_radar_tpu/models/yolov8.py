@@ -190,11 +190,12 @@ class Backbone(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False):
+    def __call__(self, x: Array, train: bool = False, pre_s2d: bool = False):
         d, w, r = self.cfg.scales
         dt = self.dtype
         if self.cfg.s2d_stem:
-            x = space_to_depth(x)
+            if not pre_s2d:
+                x = space_to_depth(x)
             x = ConvBnSiLU(
                 _ch(w, 64),
                 kernel=2,
@@ -204,6 +205,7 @@ class Backbone(nn.Module):
                 name="stem",
             )(x, train)
         else:
+            assert not pre_s2d, "pre_s2d input requires s2d_stem=True"
             x = ConvBnSiLU(_ch(w, 64), 3, 2, dtype=dt, name="stem")(x, train)
         x = ConvBnSiLU(_ch(w, 128), 3, 2, dtype=dt, name="down2")(x, train)
         x = C2f(_ch(w, 128), _depth(d, 3), True, dtype=dt, name="c2f_2")(x, train)
@@ -291,11 +293,18 @@ class YoloV8(nn.Module):
         self.neck = Neck(self.cfg, dtype=self.dtype)
         self.head = DetectHead(self.cfg, dtype=self.dtype)
 
-    def raw(self, x: Array, train: bool = False):
-        return self.head(self.neck(self.backbone(x, train), train), train)
+    def raw(self, x: Array, train: bool = False, pre_s2d: bool = False):
+        """``pre_s2d=True`` accepts input already in space-to-depth layout
+        ([B, H/2, W/2, 4C]); producers like the fused crop resample emit it
+        directly, skipping the stem's transpose chain."""
+        return self.head(
+            self.neck(self.backbone(x, train, pre_s2d), train), train
+        )
 
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        return decode_predictions(self.raw(x, train), self.cfg)
+    def __call__(
+        self, x: Array, train: bool = False, pre_s2d: bool = False
+    ) -> Array:
+        return decode_predictions(self.raw(x, train, pre_s2d), self.cfg)
 
 
 def anchor_points(

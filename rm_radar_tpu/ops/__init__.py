@@ -1,5 +1,11 @@
 from .detect_ops import decode, nms, postprocess
-from .preprocess import letterbox, letterbox_batch, letterbox_crop
+from .pallas_kernels import foreground_compact
+from .preprocess import (
+    letterbox,
+    letterbox_batch,
+    letterbox_crop,
+    letterbox_crop_s2d,
+)
 
 __all__ = [
     "decode",
@@ -8,4 +14,6 @@ __all__ = [
     "letterbox",
     "letterbox_batch",
     "letterbox_crop",
+    "letterbox_crop_s2d",
+    "foreground_compact",
 ]

@@ -1,4 +1,4 @@
-from . import auction, kalman, singer
+from . import auction, device_tracker, kalman, singer
 from .auction import NOT_MATCHED
 from .features import Features
 from .kalman import GaussianState, ekf_predict, ekf_update, kf_predict, kf_update
@@ -6,6 +6,7 @@ from .tracker import RobotObservation, Track, Tracker
 
 __all__ = [
     "auction",
+    "device_tracker",
     "kalman",
     "singer",
     "NOT_MATCHED",

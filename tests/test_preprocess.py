@@ -151,3 +151,22 @@ def test_letterbox_batch():
     assert pparams.ratio.shape == (2,)
     np.testing.assert_allclose(np.asarray(blobs)[0, 300, 300], 10.0 / 255.0)
     np.testing.assert_allclose(np.asarray(blobs)[1, 300, 300], 250.0 / 255.0)
+
+
+def test_letterbox_crop_s2d_matches_plain(rng):
+    """The s2d-layout crop must equal space_to_depth(plain crop blob)."""
+    from rm_radar_tpu.models.yolov8 import space_to_depth
+
+    img = rng.integers(0, 256, size=(100, 120, 3), dtype=np.uint8)
+    for rect in ([10.0, 20.0, 60.0, 40.0], [0.0, 0.0, 120.0, 100.0], [30.0, 5.0, 17.0, 33.0]):
+        box = jnp.asarray(rect, jnp.float32)
+        blob, pp = preprocess.letterbox_crop(jnp.asarray(img), box, 64, 64)
+        blob_s2d, pp2 = preprocess.letterbox_crop_s2d(jnp.asarray(img), box, 64, 64)
+        expected = np.asarray(space_to_depth(np.asarray(blob)[None]))[0]
+        np.testing.assert_allclose(
+            np.asarray(blob_s2d), expected, atol=1.01 / 255.0, err_msg=str(rect)
+        )
+        exact = np.mean(np.asarray(blob_s2d) == expected)
+        assert exact > 0.99, (rect, exact)
+        assert np.isclose(float(pp.ratio), float(pp2.ratio))
+        assert np.isclose(float(pp.dh), float(pp2.dh))
