@@ -61,17 +61,19 @@ def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
     _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
     log(f"batch8 compile+first: {time.perf_counter() - t0:.1f}s")
 
-    # Chain a checksum through the loop and fetch it once at the end: the
-    # data dependency forces every step to actually execute (on lazy/remote
-    # backends block_until_ready alone does not).
+    # Force execution of every step without serializing on it: start an
+    # async host copy of one output leaf per step and consume them all at
+    # the end (block_until_ready alone is lazy on remote backends; an eager
+    # checksum op would add a host round trip into the chain).
     n_steps = max(n_frames // b, 5)
     t0 = time.perf_counter()
-    checksum = None
+    handles = []
     for _ in range(n_steps):
         batch, states = step(states, imgs, clds)
-        s = batch.confidence.sum()
-        checksum = s if checksum is None else checksum + s
-    _ = float(checksum)
+        batch.confidence.copy_to_host_async()
+        handles.append(batch.confidence)
+    for h in handles:
+        _ = np.asarray(h)
     dt = (time.perf_counter() - t0) / n_steps
     fps = b / dt
     log(f"batch8: {dt * 1e3:.2f} ms/step -> {fps:.1f} frames/sec/chip")
