@@ -196,9 +196,22 @@ def main() -> int:
                 timestamp=1.0 + 0.1 * i,
             )
 
+    buckets_env = os.environ.get("BENCH_BUCKETS", "4")
+    buckets = (
+        tuple(int(b) for b in buckets_env.split(",") if b)
+        if buckets_env
+        else None
+    )
+    if buckets:
+        # Warm the small-bucket program too (outside the timed loop).
+        t0 = time.perf_counter()
+        for _ in radar.run_stream(frame_gen(), buckets=buckets):
+            break
+        log(f"bucket warmup/compile: {time.perf_counter() - t0:.1f}s")
+
     times = []
     t_prev = time.perf_counter()
-    for _ in radar.run_stream(frame_gen()):
+    for _ in radar.run_stream(frame_gen(), buckets=buckets):
         now = time.perf_counter()
         times.append(now - t_prev)
         t_prev = now
@@ -212,11 +225,16 @@ def main() -> int:
         f"(variant={variant}, max_cars={max_cars})"
     )
 
+    bucket_desc = (
+        f"armor buckets {'/'.join(map(str, buckets))}->{max_cars}"
+        if buckets
+        else f"{max_cars}-car armor batch"
+    )
     print(
         json.dumps(
             {
                 "metric": "detect+locate+track ms/frame p50 (2592x2048, "
-                f"yolov8{variant} cascade, {max_cars}-car armor batch)",
+                f"yolov8{variant} cascade, {bucket_desc})",
                 "value": round(p50, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / p50, 3),

@@ -70,7 +70,9 @@ class Detector:
         """[B, H, W, 3] float blobs -> [B, 4+classes, A] raw output."""
         return self.model.apply(self.variables, blobs)
 
-    def detect_fn(self, image: Array) -> Detections:
+    def detect_fn(
+        self, image: Array, max_detections: int | None = None
+    ) -> Detections:
         """Pure single-image path (traceable): uint8 HWC BGR -> Detections.
 
         (Emitting the full-frame blob in s2d layout like the armor crops was
@@ -86,7 +88,7 @@ class Detector:
             cfg.nms_thresh,
             cfg.conf_thresh,
             cfg.nms_top_k,
-            cfg.max_detections,
+            max_detections if max_detections is not None else cfg.max_detections,
         )
 
     def detect(self, image) -> Detections:
@@ -193,14 +195,23 @@ class RobotDetector:
         )
         self._jitted = {}
 
-    def detect_fn(self, image: Array) -> RobotBatch:
+    def detect_fn(self, image: Array, max_cars: int | None = None) -> RobotBatch:
         """Full fused cascade for one frame (traceable).
 
         image: uint8 [H, W, 3] BGR. Returns a RobotBatch of capacity
-        max_cars in full-image coordinates.
+        ``max_cars`` (default config.max_cars) in full-image coordinates.
+
+        ``max_cars`` is the armor-batch *bucket* — the TPU analogue of
+        TensorRT's optimization profiles (the reference builds its engine
+        with min/opt/max batch 1/4/20, detector.cpp:208-227). Each bucket is
+        its own compiled program; the pipeline escalates to a bigger bucket
+        (re-running the frame) when a smaller one saturates, so results are
+        bucket-independent.
         """
         cfg = self.config
-        cars = self.car.detect_fn(image)  # Detections [max_cars]
+        if max_cars is None:
+            max_cars = cfg.max_cars
+        cars = self.car.detect_fn(image, max_detections=max_cars)
 
         # Fused crop + letterbox for every car slot (invalid slots produce
         # garbage blobs that are masked out of the results). When the armor
@@ -272,7 +283,7 @@ class RobotDetector:
             cfg.iou_thresh,
         )
 
-        r = cfg.max_cars
+        r = max_cars
         return RobotBatch(
             rect=cars.xywh,
             label=jnp.where(keep, label, -1),

@@ -109,10 +109,10 @@ class Radar:
     # ---------------------------------------------------------------- fused
 
     def _frame_fn(
-        self, state: LocatorState, image, points
+        self, state: LocatorState, image, points, max_cars: int | None = None
     ) -> tuple[RobotBatch, LocatorState]:
         """One fused device step: cascade detect + locate update/cluster/search."""
-        robots = self.detector.detect_fn(image)
+        robots = self.detector.detect_fn(image, max_cars=max_cars)
         state, diff = locate_mod.update(
             state, points, self.locator.calib, self.config.locator
         )
@@ -320,7 +320,7 @@ class Radar:
         batch, self.locator.state = step(self.locator.state, image, points)
         return self._track_and_collect(batch, frame.timestamp or 0.0)
 
-    def run_stream(self, frames, depth: int = 2):
+    def run_stream(self, frames, depth: int = 2, buckets=None):
         """Pipelined frame loop: yields robot lists ``depth`` frames behind.
 
         Dispatches the fused step for upcoming frames before fetching earlier
@@ -330,14 +330,36 @@ class Radar:
         Results are identical to calling run_once per frame; only the
         schedule differs. ``depth`` bounds the in-flight frames (depth * RTT
         of latency hiding vs. ``depth`` frames of result lag).
+
+        ``buckets``: optional ascending armor-batch capacities, e.g. (4, 20)
+        — the TPU analogue of the reference's TensorRT optimization profile
+        (min/opt/max = 1/4/20, detector.cpp:208-227; kOptBatchSize=4,
+        sample_radar.h:34). Frames run in the smallest bucket; when a frame
+        *fills* its bucket the stream escalates for subsequent frames
+        (de-escalating after a quiet stretch). During the 1-2 escalation
+        frames detections are capped at the small bucket — the only
+        deviation from fixed-capacity behavior, and self-correcting. None
+        (default) = single max_cars bucket, exact reference capacity.
         """
         import collections
 
-        pending = collections.deque()  # (RobotBatch, timestamp)
+        max_cars = self.config.detector.max_cars
+        if buckets:
+            bucket_list = tuple(
+                sorted({int(b) for b in buckets if 0 < int(b) < max_cars})
+            ) + (max_cars,)
+        else:
+            bucket_list = (max_cars,)
+        cur = 0
+        quiet = 0
+
+        pending = collections.deque()  # (RobotBatch, timestamp, bucket)
         for frame in frames:
             image, points = self._prepare_inputs(frame)
+            bucket = bucket_list[cur]
             step = self._get_jitted(
-                ("frame", tuple(image.shape)), self._frame_fn
+                ("frame", tuple(image.shape), bucket),
+                functools.partial(self._frame_fn, max_cars=bucket),
             )
             batch, self.locator.state = step(
                 self.locator.state, image, points
@@ -347,11 +369,30 @@ class Radar:
             # the blocking fetch costs ~0 instead of a full link round trip.
             for leaf in batch:
                 leaf.copy_to_host_async()
-            pending.append((batch, frame.timestamp or 0.0))
+            pending.append((batch, frame.timestamp or 0.0, bucket))
             if len(pending) > depth:
-                yield self._track_and_collect(*pending.popleft())
+                batch0, ts0, b0 = pending.popleft()
+                robots = self._track_and_collect(batch0, ts0)
+                cur, quiet = self._adjust_bucket(
+                    len(robots), b0, bucket_list, cur, quiet
+                )
+                yield robots
         while pending:
-            yield self._track_and_collect(*pending.popleft())
+            batch0, ts0, _ = pending.popleft()
+            yield self._track_and_collect(batch0, ts0)
+
+    @staticmethod
+    def _adjust_bucket(n_robots, bucket_used, bucket_list, cur, quiet):
+        """Escalate when a bucket fills; de-escalate after a quiet stretch."""
+        if n_robots >= bucket_used and cur < len(bucket_list) - 1:
+            return cur + 1, 0
+        if cur > 0 and n_robots <= bucket_list[cur - 1] // 2:
+            quiet += 1
+            if quiet >= 60:
+                return cur - 1, 0
+        else:
+            quiet = 0
+        return cur, quiet
 
     def _track_and_collect(
         self, batch: RobotBatch, timestamp: float

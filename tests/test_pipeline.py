@@ -136,3 +136,40 @@ def test_run_once_tracked_fully_on_device(radar):
         assert isinstance(robots, list)
     loc_state, store = carry
     assert int(np.asarray(store.next_id)) >= 0
+
+
+@pytest.mark.slow
+def test_run_stream_buckets_escalate(radar):
+    """Bucketed stream: runs in the small bucket, escalates when it fills,
+    results structurally consistent."""
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    cloud = rng.uniform(1.0, 5.0, size=(100, 3)).astype(np.float32)
+
+    def gen(n):
+        from rm_radar_tpu.types import Frame as F
+
+        for t in range(n):
+            yield F(image=img, point_cloud=cloud, timestamp=0.1 * t)
+
+    results = list(radar.run_stream(gen(6), buckets=(2,)))
+    assert len(results) == 6
+    for robots in results:
+        assert isinstance(robots, list)
+
+
+def test_adjust_bucket_logic():
+    from rm_radar_tpu.pipeline import Radar
+
+    buckets = (4, 20)
+    # saturate bucket 4 -> escalate
+    assert Radar._adjust_bucket(4, 4, buckets, 0, 0) == (1, 0)
+    # below half of previous bucket for 60 frames -> de-escalate
+    cur, quiet = 1, 0
+    for _ in range(59):
+        cur, quiet = Radar._adjust_bucket(1, 20, buckets, cur, quiet)
+        assert cur == 1
+    cur, quiet = Radar._adjust_bucket(1, 20, buckets, cur, quiet)
+    assert cur == 0
+    # at top bucket, saturation stays put
+    assert Radar._adjust_bucket(20, 20, buckets, 1, 0) == (1, 0)
