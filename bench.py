@@ -141,13 +141,21 @@ def main() -> int:
     if os.environ.get("BENCH_MODE") == "batch8":
         return bench_batch8(radar, images, clouds, variant, max_cars, n_frames)
 
+    buckets_env = os.environ.get("BENCH_BUCKETS", "4")
+    buckets = (
+        tuple(int(b) for b in buckets_env.split(",") if b)
+        if buckets_env
+        else None
+    )
+    prime_bucket = buckets[0] if buckets else None
+
     t0 = time.perf_counter()
     if background is not None:
-        radar.update_background_cloud(background)
+        radar.update_background_cloud(background, max_cars=prime_bucket)
     else:
         # No background.pcd in the snapshot: prime the background model with
         # the first cloud (the background is a running max anyway).
-        radar.update_background_cloud(clouds[0])
+        radar.update_background_cloud(clouds[0], max_cars=prime_bucket)
     log(f"background prime (compiles fused program): {time.perf_counter() - t0:.1f}s")
 
     # Pre-stage frames on device. This benchmarks the pipeline from
@@ -165,26 +173,17 @@ def main() -> int:
     ]
     jax.block_until_ready(dev_images)
 
-    # Warmup.
+    # Warmup through the same bucketed stream path the timed loop uses
+    # (run_once would compile the full-capacity program: minutes of cold
+    # start wasted when the stream never escalates).
     t0 = time.perf_counter()
-    radar.run_once(
-        Frame(image=dev_images[0], point_cloud=dev_clouds[0], timestamp=0.0)
-    )
-    log(f"first frame: {time.perf_counter() - t0:.1f}s")
-
-    # Sync latency (run_once: dispatch + fetch + track per frame).
-    sync_times = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        radar.run_once(
-            Frame(
-                image=dev_images[i % len(images)],
-                point_cloud=dev_clouds[i % len(clouds)],
-                timestamp=0.1 * (i + 1),
-            )
-        )
-        sync_times.append(time.perf_counter() - t0)
-    log(f"sync latency p50: {np.percentile(sync_times, 50) * 1e3:.2f} ms")
+    warm = [
+        Frame(image=dev_images[0], point_cloud=dev_clouds[0], timestamp=0.01 * i)
+        for i in range(3)
+    ]
+    for _ in radar.run_stream(iter(warm), buckets=buckets):
+        pass
+    log(f"warmup (3 frames): {time.perf_counter() - t0:.1f}s")
 
     # Pipelined loop (run_stream): the steady-state per-frame cost, like the
     # reference's avg-per-frame over its sample loop.
@@ -195,19 +194,6 @@ def main() -> int:
                 point_cloud=dev_clouds[i % len(clouds)],
                 timestamp=1.0 + 0.1 * i,
             )
-
-    buckets_env = os.environ.get("BENCH_BUCKETS", "4")
-    buckets = (
-        tuple(int(b) for b in buckets_env.split(",") if b)
-        if buckets_env
-        else None
-    )
-    if buckets:
-        # Warm the small-bucket program too (outside the timed loop).
-        t0 = time.perf_counter()
-        for _ in radar.run_stream(frame_gen(), buckets=buckets):
-            break
-        log(f"bucket warmup/compile: {time.perf_counter() - t0:.1f}s")
 
     times = []
     t_prev = time.perf_counter()

@@ -281,19 +281,26 @@ class Radar:
 
     # ----------------------------------------------------------------- host
 
-    def update_background_cloud(self, cloud: np.ndarray) -> None:
+    def update_background_cloud(
+        self, cloud: np.ndarray, max_cars: int | None = None
+    ) -> None:
         """Prime the background depth model from a pre-recorded cloud
         (SampleRadar::updateBackgroundCloud, sample_radar.h:90-99).
 
         Runs the *fused* frame program on a black image so no extra XLA
         program is compiled (the reference's updateBackgroundCloud likewise
         just calls Locator::update, including the queue push). Detection
-        results are discarded.
+        results are discarded. Pass ``max_cars`` to prime (and pre-compile)
+        a specific armor bucket — e.g. the stream's starting bucket.
         """
         lc = self.config.locator
         image = np.zeros((lc.image_height, lc.image_width, 3), np.uint8)
         points = pad_points(cloud, lc.max_points)
-        step = self._get_jitted(("frame", tuple(image.shape)), self._frame_fn)
+        bucket = max_cars or self.config.detector.max_cars
+        step = self._get_jitted(
+            ("frame", tuple(image.shape), bucket),
+            functools.partial(self._frame_fn, max_cars=bucket),
+        )
         _, self.locator.state = step(self.locator.state, image, points)
 
     def _prepare_inputs(self, frame: Frame):
@@ -316,7 +323,11 @@ class Radar:
         DMA pipeline) — the fused step consumes either.
         """
         image, points = self._prepare_inputs(frame)
-        step = self._get_jitted(("frame", tuple(image.shape)), self._frame_fn)
+        bucket = self.config.detector.max_cars
+        step = self._get_jitted(
+            ("frame", tuple(image.shape), bucket),
+            functools.partial(self._frame_fn, max_cars=bucket),
+        )
         batch, self.locator.state = step(self.locator.state, image, points)
         return self._track_and_collect(batch, frame.timestamp or 0.0)
 
