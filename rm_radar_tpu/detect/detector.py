@@ -21,7 +21,7 @@ no host round-trips.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 
 from ..configs import DetectorConfig, RobotDetectorConfig
 from ..geometry import union_iou
-from ..models.yolov8 import YoloV8, create_model, init_params
+from ..models.yolov8 import create_model, init_params
 from ..ops.detect_ops import postprocess
 from ..ops.preprocess import letterbox, letterbox_crop, letterbox_crop_s2d
 from ..types import Array, Detections, RobotBatch, TrackState

@@ -19,7 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..types import Array
 

@@ -12,7 +12,7 @@ Verified against the same filterpy golden values as the reference tests
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

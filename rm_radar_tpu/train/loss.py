@@ -16,7 +16,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.yolov8 import STRIDES, YoloConfig, anchor_points
+from ..models.yolov8 import YoloConfig, anchor_points
 from ..types import Array
 
 

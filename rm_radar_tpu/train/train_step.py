@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.yolov8 import YoloConfig, YoloV8
+from ..models.yolov8 import YoloV8
 from ..parallel.mesh import DATA_AXIS
 from .loss import DetectionTargets, detection_loss
 
