@@ -8,7 +8,7 @@ Prints ONE JSON line to stdout:
 Diagnostics go to stderr.
 
 Flags (env):
-  BENCH_FRAMES   total timed frames (default 30)
+  BENCH_FRAMES   total timed frames (default 80)
   BENCH_MAX_CARS armor-batch capacity / bucket (default 8; reference's
                  kMaxBatchSize is 20 but its dynamic batch tracked the real
                  car count, typically <= 6-8 — see SURVEY.md §2.7)
@@ -111,7 +111,7 @@ def main() -> int:
     from rm_radar_tpu.types import Frame
     from rm_radar_tpu.utils.io import load_asset_sequence
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
 
