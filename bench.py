@@ -16,6 +16,12 @@ Flags (env):
                  behind the reference's headline numbers)
   BENCH_MODE     "stream" (default): pipelined single-camera ms/frame p50;
                  "batch8": 8-camera batched step, reports frames/sec/chip
+  BENCH_ARMOR_SIZE  armor-stage network input (default 640 = the reference
+                 configuration. 416/320 cut armor FLOPs 2.4x/4x but the
+                 measured label-accuracy cost on the synthetic eval suite is
+                 real (0.98 -> 0.85 -> 0.72; tools/eval_synth.py sweep,
+                 PERF.md), so the smaller inputs are an explicit
+                 speed/accuracy knob, not the default.)
 """
 
 import json
@@ -32,8 +38,13 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
-    """8-camera batched throughput: frames/sec/chip (BASELINE.json metric)."""
+def bench_batch8(radar, images, clouds, variant, max_cars, n_frames, armor_size=640) -> int:
+    """8-camera batched throughput: frames/sec/chip (BASELINE.json metric).
+
+    Uses the fully-fused device-tracked batch step (detect + locate + track
+    for all 8 cameras is ONE XLA program; vmapped on-device tracker) — there
+    is no per-camera host work on the timed path.
+    """
     import time
 
     import jax
@@ -53,23 +64,29 @@ def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
             ]
         )
     )
-    jax.block_until_ready([imgs, clds])
-    states = radar.make_batch_state(b)
-    step = radar.batch_step()
+    n_steps = max(n_frames // b, 5)
+    # Pre-stage per-step timestamps (one tiny device array per step): H2D in
+    # this dev environment has ~24 ms RTT, which must stay off the timed path.
+    ts_dev = [
+        jax.device_put(np.full((b,), 1.0 + 0.1 * i, np.float32))
+        for i in range(n_steps + 1)
+    ]
+    jax.block_until_ready([imgs, clds, ts_dev])
+    carries = radar.make_batch_tracked_state(b)
+    step = radar.batch_step(tracked=True)
     t0 = time.perf_counter()
-    batch, states = step(states, imgs, clds)
+    carries, batch = step(carries, imgs, clds, ts_dev[-1])
     _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
-    log(f"batch8 compile+first: {time.perf_counter() - t0:.1f}s")
+    log(f"batch8 tracked compile+first: {time.perf_counter() - t0:.1f}s")
 
     # Force execution of every step without serializing on it: start an
     # async host copy of one output leaf per step and consume them all at
     # the end (block_until_ready alone is lazy on remote backends; an eager
     # checksum op would add a host round trip into the chain).
-    n_steps = max(n_frames // b, 5)
     t0 = time.perf_counter()
     handles = []
-    for _ in range(n_steps):
-        batch, states = step(states, imgs, clds)
+    for i in range(n_steps):
+        carries, batch = step(carries, imgs, clds, ts_dev[i])
         batch.confidence.copy_to_host_async()
         handles.append(batch.confidence)
     for h in handles:
@@ -80,8 +97,9 @@ def bench_batch8(radar, images, clouds, variant, max_cars, n_frames) -> int:
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip at batch-8 multi-camera "
-                f"(2592x2048, yolov8{variant} cascade, {max_cars}-car armor batch)",
+                "metric": "frames/sec/chip at batch-8 multi-camera, device-"
+                f"tracked (2592x2048, yolov8{variant} cascade, "
+                f"armor@{armor_size}, {max_cars}-car armor batch)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / (1000.0 / BASELINE_MS), 3),
@@ -114,6 +132,7 @@ def main() -> int:
     n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
+    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "640"))
 
     log(f"devices: {jax.devices()}")
 
@@ -133,13 +152,19 @@ def main() -> int:
         background = None
 
     config = RadarConfig(
-        detector=RobotDetectorConfig(max_cars=max_cars),
+        detector=RobotDetectorConfig(
+            max_cars=max_cars,
+            armor_input_width=armor_size,
+            armor_input_height=armor_size,
+        ),
         locator=LocatorConfig(),
     )
     radar = Radar(config, car_variant=variant, armor_variant=variant)
 
     if os.environ.get("BENCH_MODE") == "batch8":
-        return bench_batch8(radar, images, clouds, variant, max_cars, n_frames)
+        return bench_batch8(
+            radar, images, clouds, variant, max_cars, n_frames, armor_size
+        )
 
     buckets_env = os.environ.get("BENCH_BUCKETS", "4")
     buckets = (
@@ -220,7 +245,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "detect+locate+track ms/frame p50 (2592x2048, "
-                f"yolov8{variant} cascade, {bucket_desc})",
+                f"yolov8{variant} cascade, armor@{armor_size}, {bucket_desc})",
                 "value": round(p50, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / p50, 3),

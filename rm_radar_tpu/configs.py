@@ -135,10 +135,11 @@ class LocatorConfig:
     # capped at 1000 points anyway (max_cluster_size).
     max_foreground: int = 2048
     cc_iterations: int = 10  # label-propagation rounds (with pointer jumping)
-    # Foreground compaction strategy: False (default) = blocked two-stage
-    # XLA compaction (fastest measured); True = the Pallas sparse-scan
-    # kernel (correct everywhere, but Mosaic loop overhead makes it slower
-    # on current toolchains — see ops/pallas_kernels.py).
+    # Foreground compaction strategy: False (default) = dense top_k over
+    # negated pixel indices, the fastest measured lowering on v5e (~2.6 ms
+    # at 1.3M px); True = the Pallas sparse-scan kernel (correct everywhere,
+    # but Mosaic's sequential scalar loops make it ~20x slower on current
+    # toolchains — measurements in ops/pallas_kernels.py and PERF.md).
     use_pallas_compaction: bool = False
 
     @property

@@ -94,14 +94,43 @@ class Detector:
     def detect(self, image) -> Detections:
         """Host convenience API with a per-shape jit cache (the reference
         caches serialized engines per model; XLA's jit cache is per input
-        shape). Accepts one image or a same-shape sequence of images —
-        the reference's ImageOrImages concept (detector.h:70-77)."""
+        shape). Accepts one image or a sequence of images — the reference's
+        ImageOrImages concept (detector.h:70-77). Sequence images may have
+        heterogeneous sizes (each is letterboxed independently, like the
+        reference's per-image preprocess, detector.cu:439-502): images are
+        grouped by shape, each group runs as one batch, and rows are
+        reassembled in input order."""
         if isinstance(image, (list, tuple)):
-            return self.detect_batch(np.stack(image))
+            shapes = {tuple(im.shape) for im in image}
+            if len(shapes) == 1:
+                return self.detect_batch(np.stack(image))
+            return self._detect_mixed(image)
         key = ("single", image.shape, image.dtype.str)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self.detect_fn)
         return self._jitted[key](image)
+
+    def _detect_mixed(self, images) -> Detections:
+        """Heterogeneous-size batch: per-shape jitted sub-batches (each
+        unique shape = one compiled program, the XLA analogue of TensorRT's
+        dynamic input profile). Returns host-side Detections with the batch
+        axis in input order."""
+        groups: dict = {}
+        for i, im in enumerate(images):
+            groups.setdefault(tuple(im.shape), []).append(i)
+        n = len(images)
+        rows: list = [None] * n
+        for shape, idxs in groups.items():
+            batch = self.detect_batch(np.stack([images[i] for i in idxs]))
+            host = jax.device_get(batch)  # one transfer per shape group
+            for j, i in enumerate(idxs):
+                rows[i] = jax.tree_util.tree_map(lambda x, j=j: x[j], host)
+        return Detections(
+            xywh=np.stack([r.xywh for r in rows]),
+            label=np.stack([r.label for r in rows]),
+            confidence=np.stack([r.confidence for r in rows]),
+            valid=np.stack([r.valid for r in rows]),
+        )
 
     def detect_batch(self, images: np.ndarray) -> Detections:
         """[B, H, W, 3] same-size batch (multi-camera path)."""
@@ -297,6 +326,7 @@ class RobotDetector:
             location=jnp.full((r, 3), jnp.nan, jnp.float32),
             located=jnp.zeros((r,), bool),
             track_state=jnp.full((r,), int(TrackState.NONE), jnp.int32),
+            n_cars=cars.count(),
         )
 
     def detect(self, image: np.ndarray) -> RobotBatch:

@@ -110,8 +110,15 @@ class Radar:
 
     def _frame_fn(
         self, state: LocatorState, image, points, max_cars: int | None = None
-    ) -> tuple[RobotBatch, LocatorState]:
-        """One fused device step: cascade detect + locate update/cluster/search."""
+    ):
+        """One fused device step: cascade detect + locate update/cluster/search.
+
+        Returns (robots, state, fg). The compact Foreground is returned so a
+        bucket-saturated frame can be *repaired* — re-detected at a bigger
+        armor bucket and re-searched against the same foreground — without
+        re-running the locate update (which would double-push the depth
+        queue). Callers that never repair just drop it.
+        """
         robots = self.detector.detect_fn(image, max_cars=max_cars)
         state, diff = locate_mod.update(
             state, points, self.locator.calib, self.config.locator
@@ -120,7 +127,18 @@ class Radar:
         robots = locate_mod.search(
             robots, fg, self.locator.calib, self.config.locator
         )
-        return robots, state
+        return robots, state, fg
+
+    def _repair_fn(self, image, fg, max_cars: int):
+        """Re-run detect at a bigger bucket + search against a saved
+        Foreground: produces exactly what the frame program would have
+        produced at that bucket (detection results are bucket-independent,
+        detect/detector.py:detect_fn; locate state does not depend on the
+        bucket)."""
+        robots = self.detector.detect_fn(image, max_cars=max_cars)
+        return locate_mod.search(
+            robots, fg, self.locator.calib, self.config.locator
+        )
 
     def _frame_fn_tracked(self, carry, image, points, timestamp):
         """Fully fused step including the batched on-device tracker: the
@@ -130,15 +148,17 @@ class Radar:
         from .track import device_tracker as dtrack
 
         loc_state, store = carry
-        robots, loc_state = self._frame_fn(loc_state, image, points)
+        robots, loc_state, _ = self._frame_fn(loc_state, image, points)
         store, robots = dtrack.update(
             store, robots, timestamp, self.config.tracker
         )
         return (loc_state, store), robots
 
-    def _get_jitted(self, key, fn):
+    def _get_jitted(self, key, fn, donate: bool = True):
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(fn, donate_argnums=(0,))
+            self._jitted[key] = jax.jit(
+                fn, donate_argnums=(0,) if donate else ()
+            )
         return self._jitted[key]
 
     # ------------------------------------------- fully-device tracked loop
@@ -217,16 +237,36 @@ class Radar:
             lambda x: jnp.broadcast_to(x, (n_cameras,) + x.shape).copy(), one
         )
 
-    def batch_step(self, mesh=None):
+    def make_batch_tracked_state(self, n_cameras: int):
+        """(locator states, track stores) with a leading camera axis, for
+        batch_step(tracked=True)."""
+        one = self.make_tracked_state()
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_cameras,) + x.shape).copy(), one
+        )
+
+    def batch_step(self, mesh=None, tracked: bool = False):
         """Jitted fused step over a camera batch: vmap of the per-frame
         program; with a mesh, the camera axis is sharded over DATA_AXIS so
         each chip runs its cameras' pipelines locally (ICI only touches the
         initial placement — there is no cross-camera communication).
 
-        Returns fn(states, images [B,H,W,3] u8, points [B,N,3]) ->
-        (RobotBatch with leading camera axis, new states).
+        ``tracked=False``: fn(states, images [B,H,W,3] u8, points [B,N,3])
+        -> (RobotBatch with leading camera axis, new states); tracking is
+        the caller's job (host trackers).
+
+        ``tracked=True``: the batched on-device tracker runs inside the same
+        program (vmap of the fully-fused frame over cameras) — fn(carries,
+        images, points, timestamps [B]) -> (new carries, RobotBatch with
+        track fields filled). carries = (locator states, track stores), both
+        with a leading camera axis (see make_batch_tracked_state).
         """
-        fn = jax.vmap(self._frame_fn)
+        if tracked:
+            fn = jax.vmap(self._frame_fn_tracked)
+        else:
+            fn = jax.vmap(
+                lambda s, i, p: self._frame_fn(s, i, p)[:2]
+            )
         if mesh is None:
             return jax.jit(fn, donate_argnums=(0,))
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -236,7 +276,9 @@ class Radar:
         batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         return jax.jit(
             fn,
-            in_shardings=(batch_sharding, batch_sharding, batch_sharding),
+            in_shardings=(
+                (batch_sharding,) * (4 if tracked else 3)
+            ),
             out_shardings=(batch_sharding, batch_sharding),
             donate_argnums=(0,),
         )
@@ -279,6 +321,39 @@ class Radar:
                 self.tracker = saved
         return results, states, trackers
 
+    def run_batch_tracked(
+        self,
+        images: np.ndarray,
+        clouds: np.ndarray,
+        timestamps,
+        carries=None,
+        mesh=None,
+    ):
+        """Multi-camera step with the batched on-device tracker: the whole
+        detect+locate+track frame for all B cameras is ONE XLA program — no
+        per-camera host loop (the host only formats results).
+
+        images: [B, H, W, 3] uint8; clouds: [B, N, 3] mm (padded);
+        timestamps: [B] seconds. Returns (list of per-camera robot lists,
+        carries). Pass ``carries`` back on the next call.
+        """
+        b = images.shape[0]
+        if carries is None:
+            carries = self.make_batch_tracked_state(b)
+        key = ("batch_tracked", images.shape, mesh is not None)
+        if key not in self._jitted:
+            self._jitted[key] = self.batch_step(mesh, tracked=True)
+        ts = jnp.asarray(np.asarray(timestamps, np.float32))
+        carries, batch = self._jitted[key](carries, images, clouds, ts)
+        host = RobotBatch(*jax.device_get(tuple(batch)))
+        results = [
+            self._format_host(
+                jax.tree_util.tree_map(lambda x: x[i], host)
+            )
+            for i in range(b)
+        ]
+        return results, carries
+
     # ----------------------------------------------------------------- host
 
     def update_background_cloud(
@@ -301,7 +376,7 @@ class Radar:
             ("frame", tuple(image.shape), bucket),
             functools.partial(self._frame_fn, max_cars=bucket),
         )
-        _, self.locator.state = step(self.locator.state, image, points)
+        _, self.locator.state, _ = step(self.locator.state, image, points)
 
     def _prepare_inputs(self, frame: Frame):
         image = frame.image
@@ -328,7 +403,7 @@ class Radar:
             ("frame", tuple(image.shape), bucket),
             functools.partial(self._frame_fn, max_cars=bucket),
         )
-        batch, self.locator.state = step(self.locator.state, image, points)
+        batch, self.locator.state, _ = step(self.locator.state, image, points)
         return self._track_and_collect(batch, frame.timestamp or 0.0)
 
     def run_stream(self, frames, depth: int = 2, buckets=None):
@@ -346,11 +421,15 @@ class Radar:
         — the TPU analogue of the reference's TensorRT optimization profile
         (min/opt/max = 1/4/20, detector.cpp:208-227; kOptBatchSize=4,
         sample_radar.h:34). Frames run in the smallest bucket; when a frame
-        *fills* its bucket the stream escalates for subsequent frames
-        (de-escalating after a quiet stretch). During the 1-2 escalation
-        frames detections are capped at the small bucket — the only
-        deviation from fixed-capacity behavior, and self-correcting. None
-        (default) = single max_cars bucket, exact reference capacity.
+        *fills* its bucket it is **repaired** — re-detected at the next
+        bucket against the frame's saved foreground — before its results are
+        yielded, and the stream escalates for subsequent frames
+        (de-escalating after a quiet stretch). Output is therefore
+        bit-identical to running every frame at the full max_cars capacity
+        (the reference's dynamic batch likewise never drops cars,
+        detector.cpp:208-227); the repair costs one extra cascade on the
+        rare escalation frame only. None (default) = single max_cars
+        bucket.
         """
         import collections
 
@@ -364,7 +443,38 @@ class Radar:
         cur = 0
         quiet = 0
 
-        pending = collections.deque()  # (RobotBatch, timestamp, bucket)
+        def consume(entry):
+            nonlocal cur, quiet
+            batch0, fg0, image0, ts0, b0 = entry
+            host = RobotBatch(*jax.device_get(tuple(batch0)))
+            # Repair: a full bucket may have capped detections; re-run
+            # detect+search at the next bucket until unsaturated or at
+            # capacity. Results then match fixed-capacity exactly.
+            bi = bucket_list.index(b0)
+            while (
+                int(host.n_cars) >= bucket_list[bi]
+                and bi < len(bucket_list) - 1
+            ):
+                bi += 1
+                b_next = bucket_list[bi]
+                repair = self._get_jitted(
+                    ("repair", tuple(image0.shape), b_next),
+                    functools.partial(self._repair_fn, max_cars=b_next),
+                    donate=False,
+                )
+                batch0 = repair(image0, fg0)
+                host = RobotBatch(*jax.device_get(tuple(batch0)))
+            robots = self._collect_host(host, ts0)
+            if bi > cur:  # the repair proved the bigger bucket is needed
+                cur, quiet = bi, 0
+            else:
+                cur, quiet = self._adjust_bucket(
+                    int(host.n_cars), bucket_list[bi], bucket_list, cur, quiet
+                )
+            return robots
+
+        # entries: (RobotBatch, Foreground, image, timestamp, bucket)
+        pending = collections.deque()
         for frame in frames:
             image, points = self._prepare_inputs(frame)
             bucket = bucket_list[cur]
@@ -372,7 +482,7 @@ class Radar:
                 ("frame", tuple(image.shape), bucket),
                 functools.partial(self._frame_fn, max_cars=bucket),
             )
-            batch, self.locator.state = step(
+            batch, self.locator.state, fg = step(
                 self.locator.state, image, points
             )
             # Start the device->host copy now; by the time this batch is
@@ -380,17 +490,11 @@ class Radar:
             # the blocking fetch costs ~0 instead of a full link round trip.
             for leaf in batch:
                 leaf.copy_to_host_async()
-            pending.append((batch, frame.timestamp or 0.0, bucket))
+            pending.append((batch, fg, image, frame.timestamp or 0.0, bucket))
             if len(pending) > depth:
-                batch0, ts0, b0 = pending.popleft()
-                robots = self._track_and_collect(batch0, ts0)
-                cur, quiet = self._adjust_bucket(
-                    len(robots), b0, bucket_list, cur, quiet
-                )
-                yield robots
+                yield consume(pending.popleft())
         while pending:
-            batch0, ts0, _ = pending.popleft()
-            yield self._track_and_collect(batch0, ts0)
+            yield consume(pending.popleft())
 
     @staticmethod
     def _adjust_bucket(n_robots, bucket_used, bucket_list, cur, quiet):

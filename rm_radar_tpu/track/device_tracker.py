@@ -58,6 +58,50 @@ class TrackStore(NamedTuple):
         total = jnp.sum(self.feat_sums, axis=-1, keepdims=True)
         return jnp.where(total > 0, self.feat_sums / jnp.where(total > 0, total, 1.0), 0.0)
 
+    def summary(self) -> str:
+        """JSON-ish dump of the live tracks, mirroring the reference's
+        ``operator<<(std::ostream&, const Track&)``
+        (src/track/track.h:172-185): id, state, label, location, counters."""
+        import jax
+        import numpy as np
+
+        s = jax.device_get(self)
+        if np.ndim(s.state) != 1:
+            return (
+                f"TrackStore(batch={s.state.shape[:-1]}, "
+                f"capacity={s.state.shape[-1]}, "
+                f"alive={(s.state >= 0).sum(axis=-1).tolist()})"
+            )
+        names = {s_.value: s_.name.lower() for s_ in TrackState}
+        loc = s.mean[:, 0::3]
+        label = np.argmax(s.feat_sums, axis=-1)
+        rows = [
+            '{"id": %d, "state": "%s", "label": %d, '
+            '"location": [%.2f, %.2f, %.2f], "init": %d, "miss": %d}'
+            % (
+                int(s.track_id[i]),
+                names[int(s.state[i])],
+                int(label[i]),
+                loc[i, 0],
+                loc[i, 1],
+                loc[i, 2],
+                int(s.init_count[i]),
+                int(s.miss_count[i]),
+            )
+            for i in range(s.state.shape[0])
+            if s.state[i] >= 0
+        ]
+        return (
+            f"TrackStore({len(rows)}/{s.state.shape[0]} live, "
+            f"next_id={int(s.next_id)}: [" + ", ".join(rows) + "])"
+        )
+
+    def __repr__(self) -> str:
+        try:
+            return self.summary()
+        except Exception:
+            return f"TrackStore(capacity={self.mean.shape[0]})"
+
 
 def make_store(config: TrackerConfig) -> TrackStore:
     t, c = config.max_tracks, config.class_num
@@ -133,8 +177,17 @@ def update(
 
     feats = robots.feature(cfg.class_num)  # [R, C]
     value = _scores(store, robots, feats, cfg)
+    # task_key = track id: the host tracker's track list is in insertion
+    # order (spawn appends, deletion compacts preserving order), and ids
+    # ascend per spawn — so ordering columns by id reproduces the reference
+    # value-matrix layout exactly even when this store has interior holes,
+    # keeping first-max tie-breaking identical (auction.h:55-61).
     assignment = auction_jax(
-        value, cfg.max_iter, valid_agents=robots.valid, valid_tasks=alive
+        value,
+        cfg.max_iter,
+        valid_agents=robots.valid,
+        valid_tasks=alive,
+        task_key=store.track_id,
     )  # [R] -> track slot or -1
 
     # --- gate (tracker.cpp:165-170): located robots only; reject when far

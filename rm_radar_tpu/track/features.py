@@ -81,3 +81,13 @@ class Features:
         if total == 0.0:
             return np.zeros(self._rows, dtype=np.float32)
         return (self._data.sum(axis=1) / total).astype(np.float32)
+
+    def __repr__(self) -> str:
+        """Debug dump mirroring the reference's
+        ``operator<<(std::ostream&, const Features&)`` (src/track/
+        features.h:199-203): size/capacity and the summed feature."""
+        vec = ", ".join(f"{v:.3f}" for v in self.feature())
+        return (
+            f"Features(size={self._size}, capacity={self.capacity}, "
+            f"feature=[{vec}])"
+        )

@@ -137,6 +137,26 @@ class Track:
     def is_deleted(self) -> bool:
         return self.state == TrackState.DELETED
 
+    def __repr__(self) -> str:
+        """JSON-ish dump mirroring the reference's
+        ``operator<<(std::ostream&, const Track&)`` (src/track/track.h:
+        172-185)."""
+        loc = self.location()
+        return (
+            'Track({"id": %d, "state": "%s", "label": %d, '
+            '"location": [%.2f, %.2f, %.2f], "init": %d, "miss": %d})'
+            % (
+                self.track_id,
+                self.state.name.lower(),
+                self.label(),
+                loc[0],
+                loc[1],
+                loc[2],
+                self.init_count,
+                self.miss_count,
+            )
+        )
+
 
 @dataclasses.dataclass
 class RobotObservation:

@@ -24,6 +24,17 @@ import numpy as np
 Array = jnp.ndarray
 
 
+def _host(tree):
+    """Fetch a pytree to host numpy in ONE transfer; raises on tracers."""
+    import jax
+
+    return jax.device_get(tree)
+
+
+def _fmt(x: float) -> str:
+    return f"{float(x):.2f}"
+
+
 class Label(enum.IntEnum):
     """Robot class labels, identical to reference src/robot/robot.h:32-45."""
 
@@ -88,6 +99,46 @@ class Detections(NamedTuple):
             valid=jnp.zeros(shape, bool),
         )
 
+    def summary(self) -> str:
+        """JSON-ish dump of the valid detections, mirroring the reference's
+        ``operator<<(std::ostream&, const Detection&)``
+        (src/detect/detection.h:53-60)."""
+        d = _host(self)
+        if np.ndim(d.valid) != 1:  # batched: counts only
+            return (
+                f"Detections(batch={d.valid.shape[:-1]}, "
+                f"capacity={d.valid.shape[-1]}, "
+                f"counts={d.valid.sum(axis=-1).tolist()})"
+            )
+        rows = [
+            '{"x": %s, "y": %s, "width": %s, "height": %s, '
+            '"label": %d, "confidence": %s}'
+            % (
+                _fmt(d.xywh[i, 0]),
+                _fmt(d.xywh[i, 1]),
+                _fmt(d.xywh[i, 2]),
+                _fmt(d.xywh[i, 3]),
+                int(d.label[i]),
+                _fmt(d.confidence[i]),
+            )
+            for i in range(d.valid.shape[0])
+            if d.valid[i]
+        ]
+        return (
+            f"Detections({len(rows)}/{d.valid.shape[0]} valid: ["
+            + ", ".join(rows)
+            + "])"
+        )
+
+    def __repr__(self) -> str:
+        try:
+            return self.summary()
+        except Exception:  # traced/abstract values: shapes only
+            return (
+                f"Detections(capacity={self.xywh.shape[-2]}, "
+                f"xywh={getattr(self.xywh, 'shape', None)})"
+            )
+
 
 class PreParams(NamedTuple):
     """Letterbox transform record, one row per image.
@@ -130,6 +181,11 @@ class RobotBatch(NamedTuple):
     located: Array  # bool    [R]
     # Track state (reference robot.h:119-127)
     track_state: Array  # int32 [R], TrackState values, NONE=-1
+    # Raw car-NMS survivor count (pre-dedup), int32 scalar. When this equals
+    # the batch capacity the armor bucket saturated and the frame should be
+    # re-run at a bigger bucket (pipeline.run_stream repair); the reference's
+    # dynamic batch sizes itself on exactly this count (detector.cpp:417-424).
+    n_cars: Array = np.zeros((), np.int32)
 
     @property
     def capacity(self) -> int:
@@ -173,6 +229,64 @@ class RobotBatch(NamedTuple):
         total = jnp.sum(feat, axis=-1, keepdims=True)
         feat = jnp.where(total > 0, feat / jnp.where(total > 0, total, 1.0), 0.0)
         return jnp.where(self.detected[:, None], feat, 0.0)
+
+    def summary(self) -> str:
+        """JSON-ish dump of the valid robots, mirroring the reference's
+        ``operator<<(std::ostream&, const Robot&)`` (src/robot/robot.cpp:
+        124-156): label, confidence, rect, armors, location, track state."""
+        b = _host(self)
+        if np.ndim(b.valid) != 1:
+            return (
+                f"RobotBatch(batch={b.valid.shape[:-1]}, "
+                f"capacity={b.valid.shape[-1]}, "
+                f"counts={b.valid.sum(axis=-1).tolist()})"
+            )
+        state_names = {s.value: s.name.lower() for s in TrackState}
+        rows = []
+        for i in range(b.valid.shape[0]):
+            if not b.valid[i]:
+                continue
+            parts = [f'"rect": [{", ".join(_fmt(v) for v in b.rect[i])}]']
+            if b.detected[i]:
+                parts.append(f'"label": {int(b.label[i])}')
+                parts.append(f'"confidence": {_fmt(b.confidence[i])}')
+                armors = [
+                    '[%s, %d, %s]'
+                    % (
+                        ", ".join(_fmt(v) for v in b.armor_xywh[i, j]),
+                        int(b.armor_label[i, j]),
+                        _fmt(b.armor_conf[i, j]),
+                    )
+                    for j in range(b.armor_valid.shape[1])
+                    if b.armor_valid[i, j]
+                ]
+                parts.append(f'"armors": [{", ".join(armors)}]')
+            else:
+                parts.append('"label": null')
+            if b.located[i]:
+                parts.append(
+                    f'"location": [{", ".join(_fmt(v) for v in b.location[i])}]'
+                )
+            else:
+                parts.append('"location": null')
+            parts.append(
+                f'"track_state": "{state_names[int(b.track_state[i])]}"'
+            )
+            rows.append("{" + ", ".join(parts) + "}")
+        return (
+            f"RobotBatch({len(rows)}/{b.valid.shape[0]} valid: ["
+            + ", ".join(rows)
+            + "])"
+        )
+
+    def __repr__(self) -> str:
+        try:
+            return self.summary()
+        except Exception:
+            return (
+                f"RobotBatch(capacity={self.rect.shape[-2] if self.rect.ndim > 1 else '?'}, "
+                f"rect={getattr(self.rect, 'shape', None)})"
+            )
 
 
 @dataclasses.dataclass

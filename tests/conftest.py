@@ -13,6 +13,10 @@ the TPU tunnel (minutes-per-test slow) and f32 matmuls drop to bf16 passes.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Never reuse the persistent compilation cache in tests: it may hold XLA:CPU
+# AOT artifacts compiled on a host with different machine features (the
+# loader warns of SIGILL risk), and tiny test programs compile in seconds.
+os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -158,6 +158,102 @@ def test_run_stream_buckets_escalate(radar):
         assert isinstance(robots, list)
 
 
+@pytest.mark.slow
+def test_run_stream_repair_matches_fixed_capacity():
+    """A frame that fills its small bucket is repaired at the next bucket
+    before yielding: stream output equals running every frame at the full
+    max_cars capacity (the reference's dynamic batch never drops cars,
+    detector.cpp:208-227)."""
+    import dataclasses
+
+    # Near-zero thresholds: random-weight sigmoid scores (~0.5) pass, so
+    # every frame saturates the small bucket and forces a repair.
+    cfg = dataclasses.replace(
+        TINY,
+        detector=dataclasses.replace(
+            TINY.detector, car_conf_thresh=0.01, armor_conf_thresh=0.01
+        ),
+    )
+    radar_a = Radar(cfg, car_variant="n", armor_variant="n", dtype=jnp.float32)
+    radar_b = Radar(cfg, car_variant="n", armor_variant="n", dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    frames = [
+        Frame(
+            image=rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8),
+            point_cloud=rng.uniform(1.0, 5.0, size=(100, 3)).astype(np.float32),
+            timestamp=0.1 * t,
+        )
+        for t in range(4)
+    ]
+
+    stream_out = list(radar_a.run_stream(iter(frames), buckets=(2,)))
+    fixed_out = [radar_b.run_once(f) for f in frames]
+
+    assert len(stream_out) == len(fixed_out) == 4
+    # The repair path must actually have run (a repair program was compiled
+    # for the escalated bucket).
+    assert any(k[0] == "repair" for k in radar_a._jitted), radar_a._jitted.keys()
+    for rs, rf in zip(stream_out, fixed_out):
+        assert len(rs) == len(rf)
+        for a, b in zip(rs, rf):
+            np.testing.assert_allclose(a.rect, b.rect, rtol=1e-5, atol=1e-5)
+            assert a.label == b.label
+            assert a.track_state == b.track_state
+            assert (a.location is None) == (b.location is None)
+            if a.location is not None:
+                np.testing.assert_allclose(
+                    a.location, b.location, rtol=1e-5, atol=1e-5
+                )
+
+
+@pytest.mark.slow
+def test_run_batch_tracked_device(radar):
+    """Fully-fused multi-camera device-tracked step: one XLA program for
+    B cameras' detect+locate+track; carries flow across steps."""
+    rng = np.random.default_rng(5)
+    from rm_radar_tpu.utils.io import pad_points
+
+    images = rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+    clouds = np.stack(
+        [
+            pad_points(
+                rng.uniform(1.0, 5.0, size=(50, 3)).astype(np.float32),
+                TINY.locator.max_points,
+            )
+            for _ in range(2)
+        ]
+    )
+    results, carries = radar.run_batch_tracked(images, clouds, [0.0, 0.0])
+    assert len(results) == 2
+    results, carries = radar.run_batch_tracked(
+        images, clouds, [0.1, 0.1], carries=carries
+    )
+    assert len(results) == 2
+
+
+@pytest.mark.slow
+def test_detect_heterogeneous_sizes(radar):
+    """Detector.detect accepts a mixed-size image list (reference
+    ImageOrImages, detector.h:117-134), grouping by shape and reassembling
+    rows in input order."""
+    rng = np.random.default_rng(6)
+    im_a = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    im_b = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+    im_c = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    det = radar.detector.car.detect([im_a, im_b, im_c])
+    cap = TINY.detector.max_cars
+    assert det.xywh.shape == (3, cap, 4)
+    for i, im in enumerate([im_a, im_b, im_c]):
+        single = radar.detector.car.detect(im)
+        np.testing.assert_allclose(
+            np.asarray(det.xywh[i]), np.asarray(single.xywh), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(det.valid[i]), np.asarray(single.valid)
+        )
+
+
 def test_adjust_bucket_logic():
     from rm_radar_tpu.pipeline import Radar
 
