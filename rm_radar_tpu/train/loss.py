@@ -78,8 +78,17 @@ def detection_loss(
     box_weight: float = 7.5,
     cls_weight: float = 0.5,
     dfl_weight: float = 1.5,
+    cls_smooth: float = 0.05,
 ) -> Tuple[Array, dict]:
-    """Total loss (scalar) and a metrics dict."""
+    """Total loss (scalar) and a metrics dict.
+
+    ``cls_smooth`` caps the positive class target at 1 - cls_smooth.
+    Without it, an easily-fit dataset drives sigmoid scores into exact f32
+    saturation (1.0) — and the reference NMS keeps BOTH boxes on an exact
+    confidence tie (detector.cu:350, a preserved quirk), so saturated
+    duplicate boxes would never suppress each other and crowd real objects
+    out of the fixed-capacity output.
+    """
     dist_logits, cls_logits = _flatten_raw(raw_outputs, cfg)
     b, a = cls_logits.shape[:2]
     g = targets.xywh.shape[1]
@@ -153,17 +162,21 @@ def detection_loss(
 
     # Classification BCE: one-hot target on positives, zeros elsewhere.
     cls_t = (
-        jax.nn.one_hot(alab, cfg.num_classes) * positive[..., None]
+        jax.nn.one_hot(alab, cfg.num_classes)
+        * positive[..., None]
+        * (1.0 - cls_smooth)
     )
     bce = jnp.maximum(cls_logits, 0) - cls_logits * cls_t + jnp.log1p(
         jnp.exp(-jnp.abs(cls_logits))
     )
-    cls_loss = jnp.mean(jnp.sum(bce, axis=-1), axis=-1)  # mean over anchors
 
     n_pos = jnp.maximum(jnp.sum(positive.astype(jnp.float32)), 1.0)
     box_term = jnp.sum(box_loss) / n_pos
     dfl_term = jnp.sum(jnp.where(positive, dfl, 0.0)) / n_pos
-    cls_term = jnp.mean(cls_loss)
+    # Ultralytics normalization: BCE summed over all anchors/classes divided
+    # by the positive count — an anchor-mean would drown the positive-class
+    # gradient under ~8400x negatives and cap achievable confidence.
+    cls_term = jnp.sum(bce) / n_pos
     total = box_weight * box_term + dfl_weight * dfl_term + cls_weight * cls_term
     metrics = {
         "loss": total,

@@ -1,0 +1,262 @@
+"""Synthetic RoboMaster-like scene generator: training data + accuracy
+evidence without the reference's (absent) car.onnx/armor.onnx weights.
+
+The reference's product is *accuracy* — 83.66% season marking accuracy
+(reference README.md:25) from a two-stage cascade fed by real checkpoints
+(detector.cpp:74-99). The original weight blobs are not in the snapshot
+(.MISSING_LARGE_BLOBS), so this module generates procedurally labeled
+RoboMaster-style scenes — field-gray backgrounds, dark car bodies, armor
+plates with team-colored light bars and white number glyphs — on which the
+framework's own train/ stack learns real car and armor detectors. The
+resulting weights drive end-to-end accuracy tests (tests/test_accuracy_synth)
+and the armor-input-size accuracy/speed trade measurements (PERF.md).
+
+Scene conventions follow the reference pipeline: images are uint8 HWC **BGR**
+(cv::imread order, samples/main.cpp), cars are axis-aligned boxes, armor
+labels use the 12-class Label enum (robot.h:32-45): blue/red x
+{hero=1, engineer=2, infantry 3/4/5} + sentry, rendered as the plate's glyph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+# 5x7 binary glyphs: RoboMaster plate numbers 1-5 plus 'S' (sentry).
+_GLYPHS = {
+    "1": ("00100", "01100", "00100", "00100", "00100", "00100", "01110"),
+    "2": ("01110", "10001", "00001", "00010", "00100", "01000", "11111"),
+    "3": ("11110", "00001", "00001", "01110", "00001", "00001", "11110"),
+    "4": ("00010", "00110", "01010", "10010", "11111", "00010", "00010"),
+    "5": ("11111", "10000", "11110", "00001", "00001", "10001", "01110"),
+    "S": ("01111", "10000", "10000", "01110", "00001", "00001", "11110"),
+}
+
+# Label (robot.h:32-45) -> glyph character. 0-4 blue, 5-9 red, 10/11 sentry.
+_LABEL_GLYPH = {
+    0: "1", 1: "2", 2: "3", 3: "4", 4: "5",
+    5: "1", 6: "2", 7: "3", 8: "4", 9: "5",
+    10: "S", 11: "S",
+}
+
+# Team light-bar colors in BGR (blue team: labels 0-4 and 10).
+_BLUE = np.array([255, 80, 40], np.uint8)
+_RED = np.array([40, 60, 255], np.uint8)
+
+
+def label_is_blue(label: int) -> bool:
+    return label <= 4 or label == 10
+
+
+class Scene(NamedTuple):
+    """One labeled scene (all boxes xywh float32 in image pixels)."""
+
+    image: np.ndarray  # [H, W, 3] uint8 BGR
+    car_xywh: np.ndarray  # [N, 4]
+    armor_xywh: np.ndarray  # [M, 4]
+    armor_label: np.ndarray  # [M] int32
+    armor_car: np.ndarray  # [M] int32 index into car_xywh
+
+
+def _background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Field-gray floor: coarse tonal patches + faint lane lines + noise."""
+    coarse = rng.integers(70, 150, size=(-(-h // 64), -(-w // 64)))
+    base = np.kron(coarse, np.ones((64, 64)))[:h, :w]
+    img = np.repeat(base[:, :, None], 3, axis=2).astype(np.float32)
+    for _ in range(rng.integers(2, 6)):  # lane markings
+        if rng.random() < 0.5:
+            y = int(rng.integers(0, h))
+            t = int(rng.integers(2, 6))
+            img[y : y + t, :] = rng.integers(160, 230)
+        else:
+            x = int(rng.integers(0, w))
+            t = int(rng.integers(2, 6))
+            img[:, x : x + t] = rng.integers(160, 230)
+    img += rng.normal(0, 6, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _draw_glyph(
+    img: np.ndarray, x0: int, y0: int, gw: int, gh: int, glyph: str
+) -> None:
+    """White 5x7 glyph block-scaled into [y0:y0+gh, x0:x0+gw]."""
+    rows = _GLYPHS[glyph]
+    cell_h = max(gh // 7, 1)
+    cell_w = max(gw // 5, 1)
+    for r, row in enumerate(rows):
+        for c, bit in enumerate(row):
+            if bit == "1":
+                ys = y0 + r * cell_h
+                xs = x0 + c * cell_w
+                img[ys : ys + cell_h, xs : xs + cell_w] = 235
+
+
+def _draw_car(
+    img: np.ndarray, rng: np.random.Generator, box: Tuple[int, int, int, int],
+    label: int,
+) -> Tuple[int, int, int, int]:
+    """Draw a car body + one armor plate; returns the armor plate xywh."""
+    x, y, w, h = box
+    body = int(rng.integers(30, 75))
+    img[y : y + h, x : x + w] = body
+    # wheels: darker strip along the bottom
+    wh = max(h // 6, 2)
+    img[y + h - wh : y + h, x : x + w] = max(body - 20, 8)
+    # top deck highlight
+    img[y : y + max(h // 10, 1), x : x + w] = min(body + 25, 255)
+
+    # Armor plate: dark face, team light bars at the sides, white glyph.
+    pw = int(w * rng.uniform(0.38, 0.55))
+    ph = int(h * rng.uniform(0.30, 0.42))
+    pw, ph = max(pw, 10), max(ph, 10)
+    px = x + int((w - pw) * rng.uniform(0.25, 0.75))
+    py = y + int((h - ph) * rng.uniform(0.45, 0.85))
+    img[py : py + ph, px : px + pw] = 16
+    bar_w = max(pw // 7, 2)
+    base = (_BLUE if label_is_blue(label) else _RED).astype(np.int32)
+    color = np.clip(base + rng.integers(-40, 40, size=3), 0, 255).astype(
+        np.uint8
+    )  # LED brightness/tint jitter
+    img[py : py + ph, px : px + bar_w] = color
+    img[py : py + ph, px + pw - bar_w : px + pw] = color
+    # glyph in the middle ~60%
+    gx = px + int(pw * 0.22)
+    gw = int(pw * 0.56)
+    gy = py + int(ph * 0.12)
+    gh = int(ph * 0.76)
+    _draw_glyph(img, gx, gy, gw, gh, _LABEL_GLYPH[label])
+    return (px, py, pw, ph)
+
+
+def _add_distractors(img: np.ndarray, rng: np.random.Generator) -> None:
+    """Non-armor colored clutter so color alone is not sufficient."""
+    h, w = img.shape[:2]
+    for _ in range(rng.integers(0, 4)):
+        dw = int(rng.integers(8, 40))
+        dh = int(rng.integers(8, 40))
+        x = int(rng.integers(0, max(w - dw, 1)))
+        y = int(rng.integers(0, max(h - dh, 1)))
+        color = rng.integers(0, 255, size=3)
+        img[y : y + dh, x : x + dw] = color
+
+
+def make_scene(
+    rng: np.random.Generator,
+    height: int = 640,
+    width: int = 640,
+    max_cars: int = 6,
+    car_size: Tuple[int, int] = (40, 170),
+    n_cars: Optional[int] = None,
+) -> Scene:
+    """One full-field scene with ``n_cars`` (default random 0..max_cars)."""
+    img = _background(rng, height, width)
+    _add_distractors(img, rng)
+    if n_cars is None:
+        n_cars = int(rng.integers(0, max_cars + 1))
+    # Labels are unique within a scene: a RoboMaster match fields one robot
+    # per class, and the cascade's same-label dedup (detector.cpp:431-450)
+    # keeps a single robot per label by design.
+    scene_labels = rng.permutation(12)[: max(n_cars, 0)]
+    cars, armors, labels, owners = [], [], [], []
+    occupied: list = []
+    for i in range(n_cars):
+        for _ in range(30):  # rejection-sample a placement
+            cw = int(rng.integers(car_size[0], car_size[1]))
+            ch = int(cw * rng.uniform(0.6, 0.95))
+            if cw >= width - 2 or ch >= height - 2:
+                continue
+            x = int(rng.integers(1, width - cw - 1))
+            y = int(rng.integers(1, height - ch - 1))
+            ok = all(
+                not (x < ox + ow and ox < x + cw and y < oy + oh and oy < y + ch)
+                for ox, oy, ow, oh in occupied
+            )
+            if ok:
+                break
+        else:
+            continue
+        label = int(scene_labels[i])
+        armor = _draw_car(img, rng, (x, y, cw, ch), label)
+        occupied.append((x, y, cw, ch))
+        cars.append((x, y, cw, ch))
+        armors.append(armor)
+        labels.append(label)
+        owners.append(len(cars) - 1)
+    return Scene(
+        image=img,
+        car_xywh=np.asarray(cars, np.float32).reshape(-1, 4),
+        armor_xywh=np.asarray(armors, np.float32).reshape(-1, 4),
+        armor_label=np.asarray(labels, np.int32).reshape(-1),
+        armor_car=np.asarray(owners, np.int32).reshape(-1),
+    )
+
+
+def make_crop_scene(
+    rng: np.random.Generator, size: int = 640
+) -> Scene:
+    """One armor-stage training sample: a single car filling most of the
+    frame, as the cascade's crop+letterbox produces (detector.cpp:417-424).
+
+    Mimics the two crop artifacts the armor model sees at inference: gray
+    letterbox padding bars (value 128, detector.cu:102-133) and blocky
+    upsampling (small cars are letterboxed 2-6x up; emulated by rendering at
+    low resolution and nearest-upsampling).
+    """
+    up = int(rng.choice([1, 1, 2, 4]))
+    s = size // up
+    img = _background(rng, s, s)
+    frac = rng.uniform(0.45, 0.95)
+    cw = int(s * frac)
+    ch = int(cw * rng.uniform(0.65, 0.95))
+    ch = min(ch, s - 2)
+    x = int(rng.integers(0, s - cw)) if s > cw else 0
+    y = int(rng.integers(0, s - ch)) if s > ch else 0
+    label = int(rng.integers(0, 12))
+    armor = _draw_car(img, rng, (x, y, cw, ch), label)
+    # letterbox pad bars (both sides, like a centered letterbox)
+    if rng.random() < 0.5:
+        pad = int(rng.integers(0, s // 4))
+        if rng.random() < 0.5:
+            img[:pad], img[s - pad :] = 128, 128
+            keep = (armor[1] >= pad) and (armor[1] + armor[3] <= s - pad)
+        else:
+            img[:, :pad], img[:, s - pad :] = 128, 128
+            keep = (armor[0] >= pad) and (armor[0] + armor[2] <= s - pad)
+        if not keep:  # plate destroyed by the pad: relabel as background
+            return make_crop_scene(rng, size)
+    if up > 1:
+        img = np.kron(img, np.ones((up, up, 1), np.uint8))
+        armor = tuple(v * up for v in armor)
+    return Scene(
+        image=img,
+        car_xywh=np.asarray([[0, 0, size, size]], np.float32),
+        armor_xywh=np.asarray([armor], np.float32),
+        armor_label=np.asarray([label], np.int32),
+        armor_car=np.zeros((1,), np.int32),
+    )
+
+
+def scene_to_targets(
+    scenes, kind: str, capacity: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stack scenes into (images u8 [B,H,W,3], xywh [B,G,4], label [B,G],
+    valid [B,G]) for DetectionTargets. ``kind``: 'car' (1 class, label 0) or
+    'armor' (12 classes)."""
+    images = np.stack([s.image for s in scenes])
+    b = len(scenes)
+    xywh = np.zeros((b, capacity, 4), np.float32)
+    label = np.zeros((b, capacity), np.int32)
+    valid = np.zeros((b, capacity), bool)
+    for i, s in enumerate(scenes):
+        boxes = s.car_xywh if kind == "car" else s.armor_xywh
+        labs = (
+            np.zeros(len(boxes), np.int32)
+            if kind == "car"
+            else s.armor_label
+        )
+        n = min(len(boxes), capacity)
+        xywh[i, :n] = boxes[:n]
+        label[i, :n] = labs[:n]
+        valid[i, :n] = True
+    return images, xywh, label, valid

@@ -1,0 +1,317 @@
+#!/usr/bin/env python
+"""Train car/armor detectors on synthetic RoboMaster scenes (real weights
+for accuracy evidence — the reference's car.onnx/armor.onnx blobs are absent
+from the snapshot, see SURVEY.md §2.6).
+
+The training distribution IS the inference distribution: car batches are
+full-camera-resolution (2592x2048) scenes pushed through the framework's own
+device letterbox (ops/preprocess.letterbox — same bilinear semantics, pad
+bars and BGR->RGB blob the deployed cascade uses); armor batches are
+single-car canvases pushed through the fused crop+letterbox
+(ops/preprocess.letterbox_crop) with detection-jittered crop boxes — exactly
+what the cascade feeds the armor model (detect/detector.py:detect_fn). The
+armor stage alternates 640/320 network inputs so one checkpoint serves the
+armor-input-size speed knob (configs.py, PERF.md lever 1).
+
+Runs on whatever backend JAX resolves (the real TPU chip by default in this
+environment). All batches are generated on the host, preprocessed on device
+ONCE at staging, and reused — the tunneled dev chip's ~60 MB/s host link
+stays off the step path (PERF.md).
+
+Usage:
+  python tools/train_synth.py --stage car   --steps 2500 --out assets/models
+  python tools/train_synth.py --stage armor --steps 4000 --out assets/models
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CAM_H, CAM_W = 2048, 2592  # reference camera frames (samples/main.cpp:12)
+ARMOR_CANVAS = 704  # single-car canvas for the crop path
+
+
+def _transform_boxes(xywh, valid, ratio, dw, dh, origin=(0.0, 0.0)):
+    """Source-pixel boxes -> letterboxed blob coordinates.
+
+    Inverse of the restore step (detect restores x_src = (x_blob - dw) *
+    ratio + origin, ops/detect_ops.py), so training targets live exactly
+    where decode expects them.
+    """
+    out = xywh.copy()
+    out[..., 0] = (xywh[..., 0] - origin[0]) / ratio + dw
+    out[..., 1] = (xywh[..., 1] - origin[1]) / ratio + dh
+    out[..., 2] = xywh[..., 2] / ratio
+    out[..., 3] = xywh[..., 3] / ratio
+    return np.where(valid[..., None], out, 0.0).astype(np.float32)
+
+
+def stage_car_batches(args, jax, jnp, rng):
+    """Full-res scenes -> device letterbox -> (blobs, targets) batches."""
+    from rm_radar_tpu.ops.preprocess import letterbox_batch
+    from rm_radar_tpu.train.loss import DetectionTargets
+    from rm_radar_tpu.train.synth import make_scene, scene_to_targets
+
+    capacity = 8
+    letterbox = jax.jit(
+        lambda imgs: letterbox_batch(imgs, args.size, args.size)
+    )
+    batches = []
+    for _ in range(args.n_batches):
+        scenes = [
+            make_scene(rng, CAM_H, CAM_W, max_cars=6, car_size=(180, 660))
+            for _ in range(args.batch)
+        ]
+        images, xywh, label, valid = scene_to_targets(scenes, "car", capacity)
+        blobs, pparams = letterbox(images)
+        pp = jax.device_get(pparams)
+        t_xywh = _transform_boxes(
+            xywh, valid, pp.ratio[:, None], pp.dw[:, None], pp.dh[:, None]
+        )
+        batches.append(
+            (
+                blobs,
+                jax.device_put(
+                    DetectionTargets(
+                        xywh=jnp.asarray(t_xywh),
+                        label=jnp.asarray(label),
+                        valid=jnp.asarray(valid),
+                    )
+                ),
+            )
+        )
+    return batches
+
+
+def stage_armor_batches(args, jax, jnp, rng, dst: int):
+    """Single-car canvases -> fused crop+letterbox at ``dst`` -> batches.
+
+    Crop boxes are jittered around the true car box (+-6%), modeling the
+    detector's localization error; plates clipped below half visibility by
+    the jitter are dropped from the targets.
+    """
+    import functools
+
+    from rm_radar_tpu.ops.preprocess import letterbox_crop
+    from rm_radar_tpu.train.loss import DetectionTargets
+    from rm_radar_tpu.train.synth import make_scene
+
+    crop_fn = jax.jit(
+        jax.vmap(
+            functools.partial(
+                letterbox_crop, dst_height=dst, dst_width=dst
+            )
+        )
+    )
+    capacity = 2
+    batches = []
+    for _ in range(args.n_batches):
+        canvases, crops, plates, labels = [], [], [], []
+        while len(canvases) < args.batch:
+            s = make_scene(
+                rng,
+                ARMOR_CANVAS,
+                ARMOR_CANVAS,
+                car_size=(180, 640),
+                n_cars=1,
+            )
+            if len(s.car_xywh) != 1:
+                continue
+            box = s.car_xywh[0].copy()
+            jx = rng.uniform(-0.06, 0.06, size=4) * np.array(
+                [box[2], box[3], box[2], box[3]]
+            )
+            box = box + jx.astype(np.float32)
+            box[0] = np.clip(box[0], 0, ARMOR_CANVAS - 2)
+            box[1] = np.clip(box[1], 0, ARMOR_CANVAS - 2)
+            box[2] = np.clip(box[2], 8, ARMOR_CANVAS - box[0])
+            box[3] = np.clip(box[3], 8, ARMOR_CANVAS - box[1])
+            canvases.append(s.image)
+            crops.append(box)
+            plates.append(s.armor_xywh[0])
+            labels.append(s.armor_label[0])
+        imgs = jax.device_put(np.stack(canvases))
+        boxes = jnp.asarray(np.stack(crops))
+        blobs, pparams = crop_fn(imgs, boxes)
+        pp = jax.device_get(pparams)
+
+        xywh = np.zeros((args.batch, capacity, 4), np.float32)
+        label = np.zeros((args.batch, capacity), np.int32)
+        valid = np.zeros((args.batch, capacity), bool)
+        for i in range(args.batch):
+            # crop origin truncates like the reference cv::Rect
+            # (detector.cpp:417-424 via letterbox_crop's int cast)
+            ox, oy = float(int(crops[i][0])), float(int(crops[i][1]))
+            cw, ch = float(int(crops[i][2])), float(int(crops[i][3]))
+            px, py, pw, ph = (float(v) for v in plates[i])
+            # clip the plate to the crop; keep if >= half the area survives
+            cx0, cy0 = max(px, ox), max(py, oy)
+            cx1 = min(px + pw, ox + cw)
+            cy1 = min(py + ph, oy + ch)
+            if (cx1 - cx0) * (cy1 - cy0) < 0.5 * pw * ph:
+                continue
+            t = _transform_boxes(
+                np.asarray([[cx0, cy0, cx1 - cx0, cy1 - cy0]], np.float32),
+                np.asarray([True]),
+                pp.ratio[i],
+                pp.dw[i],
+                pp.dh[i],
+                origin=(ox, oy),
+            )
+            xywh[i, 0] = t[0]
+            label[i, 0] = labels[i]
+            valid[i, 0] = True
+        batches.append(
+            (
+                blobs,
+                jax.device_put(
+                    DetectionTargets(
+                        xywh=jnp.asarray(xywh),
+                        label=jnp.asarray(label),
+                        valid=jnp.asarray(valid),
+                    )
+                ),
+            )
+        )
+    return batches
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=["car", "armor"], required=True)
+    ap.add_argument("--variant", default="n")
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--armor-small", type=int, default=0,
+                    help="optional second armor input size trained in "
+                    "alternation (0 = single-size; separate per-size "
+                    "checkpoints measured more accurate than one shared-BN "
+                    "multi-scale checkpoint — the reference likewise builds "
+                    "one TensorRT engine per input shape)")
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-batches", type=int, default=24)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="assets/models")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/rm_radar_jax_cache")
+        or None,
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from rm_radar_tpu.models.weights import save_variables
+    from rm_radar_tpu.models.yolov8 import create_model, init_params
+    from rm_radar_tpu.train.train_step import create_train_state, train_step
+
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    num_classes = 1 if args.stage == "car" else 12
+    model, cfg = create_model(
+        variant=args.variant,
+        num_classes=num_classes,
+        input_size=(args.size, args.size),
+        dtype=jnp.float32,
+    )
+    variables = init_params(model, jax.random.PRNGKey(args.seed))
+
+    rng = np.random.default_rng(args.seed + 1)
+    t0 = time.time()
+    if args.stage == "car":
+        batch_sets = [stage_car_batches(args, jax, jnp, rng)]
+        models = [model]
+    elif not args.armor_small:
+        batch_sets = [stage_armor_batches(args, jax, jnp, rng, args.size)]
+        models = [model]
+    else:
+        n_total = args.n_batches
+        args.n_batches = (n_total + 1) // 2
+        big = stage_armor_batches(args, jax, jnp, rng, args.size)
+        small = stage_armor_batches(args, jax, jnp, rng, args.armor_small)
+        batch_sets = [big, small]
+        # Same variant/classes => identical parameter tree; only the anchor
+        # grid (from input_size) differs, so both steps share one state.
+        small_model, _ = create_model(
+            variant=args.variant,
+            num_classes=num_classes,
+            input_size=(args.armor_small, args.armor_small),
+            dtype=jnp.float32,
+        )
+        models = [model, small_model]
+    jax.block_until_ready([b[0] for bs in batch_sets for b in bs])
+    print(
+        f"staged+preprocessed {sum(len(b) for b in batch_sets)}x{args.batch} "
+        f"blobs in {time.time() - t0:.0f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    warmup = min(100, max(args.steps // 10, 1))
+    tx = optax.adam(
+        optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, warmup_steps=warmup, decay_steps=args.steps + warmup
+        )
+    )
+    state = create_train_state(model, variables, tx)
+
+    steps = []
+    for m in models:
+        steps.append(
+            jax.jit(
+                (lambda mm: lambda s, b, t: train_step(s, b, t, model=mm, tx=tx))(m),
+                donate_argnums=(0,),
+            )
+        )
+
+    t0 = time.time()
+    state, metrics = steps[0](state, *batch_sets[0][0])
+    print(
+        f"compile+first step: {time.time() - t0:.0f}s "
+        f"loss={float(metrics['loss']):.3f}",
+        file=sys.stderr,
+        flush=True,
+    )
+    t0 = time.time()
+    for i in range(1, args.steps):
+        k = i % len(batch_sets)
+        bs = batch_sets[k]
+        state, metrics = steps[k](state, *bs[(i // len(batch_sets)) % len(bs)])
+        if i % 400 == 0 or i == args.steps - 1:
+            m = jax.device_get(metrics)
+            print(
+                f"step {i}: loss={float(m['loss']):.3f} "
+                f"box={float(m['box_loss']):.3f} cls={float(m['cls_loss']):.3f} "
+                f"dfl={float(m['dfl_loss']):.3f} ({(time.time() - t0) / i * 1e3:.0f} ms/step)",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    os.makedirs(args.out, exist_ok=True)
+    suffix = (
+        f"_{args.size}" if args.stage == "armor" and args.size != 640 else ""
+    )
+    path = os.path.join(
+        args.out, f"{args.stage}_synth_{args.variant}{suffix}.npz"
+    )
+    save_variables(
+        path, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    print(f"saved {path}", file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
