@@ -68,7 +68,13 @@ def auction(value_matrix: np.ndarray, max_iter: int = 100) -> np.ndarray:
     return assignment
 
 
-def auction_jax(value_matrix, max_iter: int = 100, valid_agents=None, valid_tasks=None):
+def auction_jax(
+    value_matrix,
+    max_iter: int = 100,
+    valid_agents=None,
+    valid_tasks=None,
+    task_key=None,
+):
     """jit-compatible auction over a fixed-capacity value matrix.
 
     ``value_matrix`` is [A, T] where A/T are static capacities;
@@ -76,6 +82,19 @@ def auction_jax(value_matrix, max_iter: int = 100, valid_agents=None, valid_task
     tasks behave like the reference's virtual zero-value padding: they can be
     won but report -1). Returns int32 [A] assignment with -1 for unmatched
     or invalid agents.
+
+    ``task_key``: optional float/int [T] sort key giving the *reference
+    column order* of the valid tasks (e.g. track insertion order = ascending
+    track id). The reference's value matrix has columns in track-list order
+    with the virtual zero-value tasks appended AFTER them (auction.h:55-61),
+    and the bid loop breaks score ties by first-max — so column order is
+    semantically significant. A fixed-capacity store with interior free
+    slots (the device tracker spawns into holes) would otherwise interleave
+    virtual tasks among real ones and flip tie-breaks; the permutation below
+    restores the exact reference layout: valid tasks sorted by ``task_key``
+    first, then the free slots (of which the first agents-tasks act as
+    virtual tasks). Without ``task_key``, valid tasks keep their slot order
+    (exact when valid tasks form a prefix).
     """
     import jax
     import jax.numpy as jnp
@@ -93,13 +112,24 @@ def auction_jax(value_matrix, max_iter: int = 100, valid_agents=None, valid_task
         else jnp.asarray(valid_tasks, bool)
     )
 
+    if task_key is not None:
+        # Stable sort: valid tasks (by key) first, invalid slots after.
+        key = jnp.where(
+            valid_tasks, jnp.asarray(task_key, jnp.float32), jnp.inf
+        )
+        perm = jnp.argsort(key)  # jnp.argsort is stable
+        value_matrix = value_matrix[:, perm]
+        valid_tasks = valid_tasks[perm]
+    else:
+        perm = None
+
     # The reference pads with *exactly* max(0, agents - tasks) zero-value
     # virtual tasks (auction.h:55-61); exposing every invalid capacity slot as
     # a free zero-value task would change the bidding dynamics (an agent could
     # escape to a virtual task in cases where the reference forces it onto a
-    # real one). Valid tasks are assumed compacted to a prefix (the pipeline
-    # maintains compact stores); the first (n_agents - n_tasks) invalid slots
-    # become virtual tasks, the rest are priced out with -inf.
+    # real one). After the permutation above (or with a naturally compact
+    # store) valid tasks form a prefix; the first (n_agents - n_tasks)
+    # invalid slots become virtual tasks, the rest are priced out with -inf.
     n_valid_agents = jnp.sum(valid_agents.astype(jnp.int32))
     n_valid_tasks = jnp.sum(valid_tasks.astype(jnp.int32))
     n_virtual = jnp.maximum(n_valid_agents - n_valid_tasks, 0)
@@ -149,4 +179,10 @@ def auction_jax(value_matrix, max_iter: int = 100, valid_agents=None, valid_task
     assignment = jnp.where(
         (assignment >= 0) & (won_virtual | ~valid_agents), NOT_MATCHED, assignment
     )
+    if perm is not None:  # map back to original slot indices
+        assignment = jnp.where(
+            assignment >= 0,
+            perm[jnp.clip(assignment, 0, num_tasks - 1)].astype(jnp.int32),
+            assignment,
+        )
     return assignment
