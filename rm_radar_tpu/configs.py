@@ -84,6 +84,13 @@ class RobotDetectorConfig:
     armor_input_width: int = 640
     armor_input_height: int = 640
     max_armors_per_car: int = 8
+    # Static source window for the fused crop resample. The crop einsums
+    # contract over the full image extents (2048/2592) although a car crop is
+    # a few hundred px; slicing a [window, window] neighborhood first cuts
+    # armor-preprocess FLOPs ~6x. Frames where any *valid* car exceeds the
+    # window fall back to the full-extent path via one batch-level lax.cond
+    # (results are bit-identical either way — tested). 0 disables.
+    crop_window: int = 768
 
     def car_config(self) -> DetectorConfig:
         return DetectorConfig(

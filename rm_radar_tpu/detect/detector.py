@@ -199,6 +199,57 @@ def _dedup_same_label(
     return valid & (~detected | is_winner)
 
 
+def _crop_batch(image: Array, cars: Detections, crop_fn, window: int):
+    """Fused crop+letterbox for every car slot, with a windowed fast path.
+
+    The crop resample einsums contract over the source image extents, so on
+    a 2048x2592 frame each car pays for the whole image although its crop is
+    a few hundred px. When every *valid* car fits a static ``window``-square
+    neighborhood, a per-car ``dynamic_slice`` of that neighborhood feeds the
+    same resample instead (~6x fewer preprocess FLOPs); one batch-level
+    ``lax.cond`` falls back to the full-extent path otherwise, so results are
+    bit-identical for any crop size. (The reference's equivalent is the
+    host-side ``image(rect).clone()`` per car, detector.cpp:417-424 — its
+    crop cost already scaled with the rect, not the frame.)
+    """
+    src_h, src_w = int(image.shape[0]), int(image.shape[1])
+
+    def full_path(xywh):
+        return jax.vmap(lambda b: crop_fn(image, crop_xywh=b))(xywh)
+
+    if not window or (window >= src_h and window >= src_w):
+        return full_path(cars.xywh)
+    win_h = min(window, src_h)
+    win_w = min(window, src_w)
+
+    # Same int truncation + clamping as letterbox_crop's own box handling.
+    x0 = jnp.clip(cars.xywh[:, 0].astype(jnp.int32), 0, src_w - 1)
+    y0 = jnp.clip(cars.xywh[:, 1].astype(jnp.int32), 0, src_h - 1)
+    cw = jnp.clip(cars.xywh[:, 2].astype(jnp.int32), 1, src_w - x0)
+    ch = jnp.clip(cars.xywh[:, 3].astype(jnp.int32), 1, src_h - y0)
+    fits = jnp.all(jnp.where(cars.valid, (cw <= win_w) & (ch <= win_h), True))
+
+    def windowed_path(xywh):
+        def one(box):
+            bx = jnp.minimum(
+                jnp.clip(box[0].astype(jnp.int32), 0, src_w - 1), src_w - win_w
+            )
+            by = jnp.minimum(
+                jnp.clip(box[1].astype(jnp.int32), 0, src_h - 1), src_h - win_h
+            )
+            neighborhood = jax.lax.dynamic_slice(
+                image, (by, bx, jnp.int32(0)), (win_h, win_w, 3)
+            )
+            shift = jnp.stack(
+                [bx, by, jnp.int32(0), jnp.int32(0)]
+            ).astype(box.dtype)
+            return crop_fn(neighborhood, crop_xywh=box - shift)
+
+        return jax.vmap(one)(xywh)
+
+    return jax.lax.cond(fits, windowed_path, full_path, cars.xywh)
+
+
 class RobotDetector:
     """Two-stage cascade: car detection -> per-car armor detection -> robots.
 
@@ -254,27 +305,21 @@ class RobotDetector:
             if self.armor.model.dtype == jnp.bfloat16
             else None
         )
+        crop_kind = letterbox_crop_s2d if use_s2d else letterbox_crop
+        crop_fn = functools.partial(
+            crop_kind,
+            dst_height=cfg.armor_input_height,
+            dst_width=cfg.armor_input_width,
+            matmul_dtype=mm_dtype,
+        )
+        blobs, pparams = _crop_batch(
+            image, cars, crop_fn, cfg.crop_window
+        )
         if use_s2d:
-            crop_fn = functools.partial(
-                letterbox_crop_s2d,
-                image,
-                dst_height=cfg.armor_input_height,
-                dst_width=cfg.armor_input_width,
-                matmul_dtype=mm_dtype,
-            )
-            blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
             raw = self.armor.model.apply(
                 self.armor.variables, blobs, pre_s2d=True
             )
         else:
-            crop_fn = functools.partial(
-                letterbox_crop,
-                image,
-                dst_height=cfg.armor_input_height,
-                dst_width=cfg.armor_input_width,
-                matmul_dtype=mm_dtype,
-            )
-            blobs, pparams = jax.vmap(lambda b: crop_fn(crop_xywh=b))(cars.xywh)
             raw = self.armor.raw_forward(blobs)  # [max_cars, 4+classes, A]
         acfg = self.armor.config
         armors = jax.vmap(

@@ -53,11 +53,22 @@ from ..types import Array, RobotBatch
 
 
 class LocatorState(NamedTuple):
-    """Device-resident locator state."""
+    """Device-resident locator state.
+
+    Besides the reference's depth-image ring (locate.cpp:200-219), the state
+    carries the projected (pixel, depth) list of each queued cloud. Every
+    nonzero diff pixel's value is, by construction, the scatter-max winner of
+    some queued cloud at that pixel — so the foreground pixels can be
+    recovered by checking ~Q*max_points candidate points against the diff
+    image instead of scanning its 1.3M pixels (a 27x smaller sort domain;
+    see :func:`_compact_from_candidates`).
+    """
 
     background: Array  # [H, W] float32, max-ever depth (mm)
     queue: Array  # [Q, H, W] float32 ring of recent depth images
     frames_seen: Array  # int32 scalar
+    pix_queue: Array  # [Q, P] int32 flat pixel per queued point (H*W pad)
+    depth_queue: Array  # [Q, P] float32 projected depth per queued point
 
 
 class Foreground(NamedTuple):
@@ -76,6 +87,12 @@ def make_state(config: LocatorConfig) -> LocatorState:
         background=jnp.zeros((h, w), jnp.float32),
         queue=jnp.zeros((config.queue_size, h, w), jnp.float32),
         frames_seen=jnp.zeros((), jnp.int32),
+        pix_queue=jnp.full(
+            (config.queue_size, config.max_points), h * w, jnp.int32
+        ),
+        depth_queue=jnp.zeros(
+            (config.queue_size, config.max_points), jnp.float32
+        ),
     )
 
 
@@ -92,6 +109,18 @@ def project_cloud(
     pixel resolve to the max (deterministic replacement for the reference's
     last-writer-wins race).
     """
+    flat_idx, d, ok = _project_flat(points, calib, config)
+    h, w = config.zoomed_height, config.zoomed_width
+    depth = jnp.zeros((h * w + 1,), jnp.float32)
+    depth = depth.at[flat_idx].max(d)
+    return depth[:-1].reshape(h, w), ok
+
+
+def _project_flat(
+    points: Array, calib: LidarCalib, config: LocatorConfig
+) -> Tuple[Array, Array, Array]:
+    """Per-point (flat pixel index, depth, validity); invalid points get the
+    H*W sentinel pixel and depth 0."""
     h, w = config.zoomed_height, config.zoomed_width
     nonzero = jnp.any(points != 0.0, axis=-1)
     near = points[:, 0] <= config.max_distance
@@ -102,9 +131,7 @@ def project_cloud(
     in_img = (uvd[:, 0] >= 0) & (u < w) & (uvd[:, 1] >= 0) & (v < h)
     ok = nonzero & near & in_img
     flat_idx = jnp.where(ok, v * w + u, h * w)  # sentinel bucket for invalid
-    depth = jnp.zeros((h * w + 1,), jnp.float32)
-    depth = depth.at[flat_idx].max(jnp.where(ok, d, 0.0))
-    return depth[:-1].reshape(h, w), ok
+    return flat_idx, jnp.where(ok, d, 0.0), ok
 
 
 def update(
@@ -119,9 +146,15 @@ def update(
     for any queued depth image, newest image winning conflicts
     (locate.cpp:200-219 resolves them by thread race; we fix newest-wins).
     """
-    depth, _ = project_cloud(points, calib, config)
+    flat_idx, d, _ = _project_flat(points, calib, config)
+    h, w = config.zoomed_height, config.zoomed_width
+    depth = jnp.zeros((h * w + 1,), jnp.float32)
+    depth = depth.at[flat_idx].max(d)
+    depth = depth[:-1].reshape(h, w)
     background = jnp.maximum(state.background, depth)
     queue = jnp.concatenate([state.queue[1:], depth[None]], axis=0)
+    pix_queue = jnp.concatenate([state.pix_queue[1:], flat_idx[None]], axis=0)
+    depth_queue = jnp.concatenate([state.depth_queue[1:], d[None]], axis=0)
 
     diff = jnp.zeros_like(depth)
     for i in range(config.queue_size):  # static, oldest -> newest
@@ -137,6 +170,8 @@ def update(
         background=background,
         queue=queue,
         frames_seen=state.frames_seen + 1,
+        pix_queue=pix_queue,
+        depth_queue=depth_queue,
     )
     return new_state, diff
 
@@ -181,8 +216,52 @@ def _connected_components(
     return jnp.where(valid, labels, -1)
 
 
+def _compact_from_candidates(
+    diff: Array, pix_queue: Array, depth_queue: Array, n_out: int
+) -> Tuple[Array, Array]:
+    """First ``n_out`` nonzero diff pixels in scan order, recovered from the
+    queued point projections instead of scanning the image.
+
+    Every nonzero diff pixel holds the scatter-max depth of some queued
+    cloud at that pixel (update() copies queue values through), and that max
+    is attained by an actual point of that cloud — so gathering diff at the
+    ~Q*P candidate pixels and keeping exact matches recovers precisely
+    {(pixel, diff[pixel]) : diff[pixel] != 0}. Sorting those ~49K candidates
+    replaces the 1.3M-pixel top_k (the previous 2.6 ms dominant non-conv op;
+    equivalence is tested against the dense lowering). Returns
+    (flat_idx [n_out] int32 with -1 padding, value [n_out] f32).
+    """
+    hw = diff.size
+    flat = diff.reshape(-1)
+    pix = pix_queue.reshape(-1)
+    depth = depth_queue.reshape(-1)
+    safe = jnp.minimum(pix, hw - 1)
+    is_fg = (pix < hw) & (depth != 0.0) & (flat[safe] == depth)
+    # Scan order + duplicate-pixel removal (several clouds/points can carry
+    # the winning value): sort by pixel, keep first of each equal run.
+    key = jnp.where(is_fg, pix, hw)
+    order = jnp.argsort(key)
+    skey = key[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+    )
+    keep = first & (skey < hw)
+    key2 = jnp.where(keep, skey, hw)
+    neg, pos = jax.lax.top_k(-key2, n_out)
+    idx = -neg
+    valid = idx < hw
+    vals = depth[order][pos]
+    return (
+        jnp.where(valid, idx, -1).astype(jnp.int32),
+        jnp.where(valid, vals, 0.0),
+    )
+
+
 def cluster(
-    diff: Array, calib: LidarCalib, config: LocatorConfig
+    diff: Array,
+    calib: LidarCalib,
+    config: LocatorConfig,
+    candidates: Optional[Tuple[Array, Array]] = None,
 ) -> Foreground:
     """Locator::cluster: foreground pixels -> 3D points -> clusters.
 
@@ -190,15 +269,27 @@ def cluster(
     noise (cluster id -1), matching PCL's size gate; noise points still
     participate in search as the reference's "unclustered" candidate group
     (locate.cpp:292-295).
+
+    ``candidates``: optional (pix_queue, depth_queue) from LocatorState —
+    enables the point-driven compaction (sorts ~49K candidate points instead
+    of 1.3M pixels; identical result, tested). Without it the dense top_k
+    lowering scans the image.
     """
     h, w = diff.shape
     n = config.max_foreground
     # First-n foreground pixels in scan order. Lowerings, fastest first:
-    # Pallas sparse-scan kernel (ops/pallas_kernels.py), top_k over negated
-    # indices (~2.8 ms at 1.3M px), jnp.nonzero (full-image scatter, ~13 ms).
+    # point-driven candidate compaction (needs the state's projection
+    # queues), top_k over negated indices (~2.8 ms at 1.3M px), Pallas
+    # sparse-scan kernel (ops/pallas_kernels.py), jnp.nonzero (full-image
+    # scatter, ~13 ms).
     from ..ops.pallas_kernels import foreground_compact
 
-    idx, d = foreground_compact(diff, n, use_pallas=config.use_pallas_compaction)
+    if candidates is not None:
+        idx, d = _compact_from_candidates(diff, *candidates, n_out=n)
+    else:
+        idx, d = foreground_compact(
+            diff, n, use_pallas=config.use_pallas_compaction
+        )
     valid = idx >= 0
     idx = jnp.where(valid, idx, h * w)
     safe = jnp.minimum(idx, h * w - 1)
@@ -326,7 +417,10 @@ class Locator:
     def cluster(self) -> None:
         if self._diff is None:
             return
-        self._fg = self._cluster(self._diff)
+        self._fg = self._cluster(
+            self._diff,
+            candidates=(self.state.pix_queue, self.state.depth_queue),
+        )
 
     def search(self, robots: RobotBatch) -> RobotBatch:
         if self._fg is None:

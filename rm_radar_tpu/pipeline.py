@@ -123,7 +123,12 @@ class Radar:
         state, diff = locate_mod.update(
             state, points, self.locator.calib, self.config.locator
         )
-        fg = locate_mod.cluster(diff, self.locator.calib, self.config.locator)
+        fg = locate_mod.cluster(
+            diff,
+            self.locator.calib,
+            self.config.locator,
+            candidates=(state.pix_queue, state.depth_queue),
+        )
         robots = locate_mod.search(
             robots, fg, self.locator.calib, self.config.locator
         )

@@ -162,3 +162,41 @@ def test_cluster_size_gate():
     location, located = loc.search_one(rect, fg, CAL, CFG)
     assert bool(located)
     np.testing.assert_allclose(float(location[2]), 0.018, rtol=1e-3)
+
+
+def test_candidate_compaction_matches_dense():
+    """The point-driven compaction (sorting the queued projections) must
+    reproduce the dense image-scan lowering exactly: same foreground pixels
+    in scan order, same depths, same clusters — across multi-frame sequences
+    with duplicate pixels, cross-frame repeats and capacity overflow."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    for trial, n_pts in enumerate((40, 200, CFG.max_points)):
+        state = loc.make_state(CFG)
+        diff = None
+        for frame in range(5):
+            pts = []
+            for _ in range(n_pts):
+                u = rng.uniform(0, CFG.zoomed_width - 1)
+                v = rng.uniform(0, CFG.zoomed_height - 1)
+                # Quantized depths force exact-equality duplicates within
+                # and across frames; later frames sit in the diff band of
+                # the frame-0 background.
+                d = float(rng.integers(8, 16)) if frame == 0 else float(
+                    rng.integers(5, 12)
+                )
+                pts.append(_point_at_pixel(u * 2, v * 2, d))
+            state, diff = jax.jit(
+                lambda s, p: loc.update(s, p, CAL, CFG)
+            )(state, _cloud(pts[: CFG.max_points]))
+        dense = loc.cluster(diff, CAL, CFG)
+        cand = loc.cluster(
+            diff, CAL, CFG, candidates=(state.pix_queue, state.depth_queue)
+        )
+        n_fg = int(np.asarray(dense.valid).sum())
+        assert trial == 0 or n_fg > 0
+        for a, b, name in zip(dense, cand, dense._fields):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} n_pts={n_pts}"
+            )

@@ -170,3 +170,76 @@ def test_letterbox_crop_s2d_matches_plain(rng):
         assert exact > 0.99, (rect, exact)
         assert np.isclose(float(pp.ratio), float(pp2.ratio))
         assert np.isclose(float(pp.dh), float(pp2.dh))
+
+
+def test_crop_batch_windowed_matches_full(rng):
+    """The windowed crop fast path (dynamic_slice neighborhood) must equal
+    the full-extent path within one uint8 truncation level (fp reassociation
+    across the different contraction extents can flip isolated truncation
+    boundaries, as with the other fused-crop formulations), and frames with
+    an oversize valid car must fall back to the full path (one batch-level
+    lax.cond)."""
+
+    def assert_blob_equal(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, atol=1.01 / 255.0)
+        assert np.mean(a == b) > 0.99
+    import functools
+
+    import jax
+
+    from rm_radar_tpu.detect.detector import _crop_batch
+    from rm_radar_tpu.types import Detections
+
+    img = jnp.asarray(rng.integers(0, 256, size=(100, 120, 3), dtype=np.uint8))
+    crop_fn = functools.partial(
+        preprocess.letterbox_crop, dst_height=32, dst_width=32
+    )
+    boxes = np.asarray(
+        [
+            [10.3, 20.7, 30.0, 25.0],
+            [80.0, 60.0, 39.9, 39.9],  # right/bottom edge: window clamps
+            [-5.0, -5.0, 20.0, 20.0],  # negative origin
+            [0.0, 0.0, 1.0, 1.0],
+        ],
+        np.float32,
+    )
+
+    def cars(valid):
+        return Detections(
+            xywh=jnp.asarray(boxes),
+            label=jnp.zeros(4, jnp.int32),
+            confidence=jnp.ones(4, jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+
+    full_blobs, full_pp = _crop_batch(img, cars([True] * 4), crop_fn, 0)
+    for window in (40, 64, 100):
+        blobs, pp = jax.jit(
+            lambda c: _crop_batch(img, c, crop_fn, window)
+        )(cars([True] * 4))
+        assert_blob_equal(blobs, full_blobs)
+        np.testing.assert_array_equal(np.asarray(pp.ratio), np.asarray(full_pp.ratio))
+        np.testing.assert_array_equal(np.asarray(pp.dw), np.asarray(full_pp.dw))
+
+    # Oversize valid car -> fallback; oversize *invalid* car -> windowed path
+    # still used and valid slots unchanged.
+    big = boxes.copy()
+    big[1] = [5.0, 5.0, 90.0, 80.0]
+    for valid, expect_same_all in (([True] * 4, True), ([True, False, True, True], False)):
+        c = Detections(
+            xywh=jnp.asarray(big),
+            label=jnp.zeros(4, jnp.int32),
+            confidence=jnp.ones(4, jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+        ref_blobs, _ = _crop_batch(img, c, crop_fn, 0)
+        win_blobs, _ = jax.jit(lambda cc: _crop_batch(img, cc, crop_fn, 40))(c)
+        if expect_same_all:
+            assert_blob_equal(win_blobs, ref_blobs)
+        else:  # masked slot may differ; every valid slot must not
+            for i, v in enumerate(valid):
+                if v:
+                    assert_blob_equal(
+                        np.asarray(win_blobs)[i], np.asarray(ref_blobs)[i]
+                    )

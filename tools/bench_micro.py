@@ -83,6 +83,25 @@ def main() -> int:
             )(bx)
             results[f"crop_plain_bf16_x8@{dst}"] = timeit(fn2, (img, boxes))
 
+            # Windowed fast path (detect/detector.py:_crop_batch): slice a
+            # 768px neighborhood per car before the resample einsums.
+            from rm_radar_tpu.detect.detector import _crop_batch
+            from rm_radar_tpu.types import Detections
+
+            cars = Detections(
+                xywh=boxes,
+                label=jnp.zeros(8, jnp.int32),
+                confidence=jnp.ones(8, jnp.float32),
+                valid=jnp.ones(8, bool),
+            )
+            crop_fn = lambda im, crop_xywh, d=dst: letterbox_crop_s2d(
+                im, crop_xywh, d, d, matmul_dtype=jnp.bfloat16
+            )
+            results[f"crop_s2d_windowed768_x8@{dst}"] = timeit(
+                lambda im, c, d=dst: _crop_batch(im, c, crop_fn, 768)[0],
+                (img, cars),
+            )
+
     if "compact" in ops:
         from rm_radar_tpu.ops.pallas_kernels import (
             foreground_compact_blocked,
@@ -99,6 +118,24 @@ def main() -> int:
         )
         results["compact_blocked_2048"] = timeit(
             lambda x: foreground_compact_blocked(x, 2048), (d,)
+        )
+
+        # Point-driven compaction (locate/locator.py): sorts the queued
+        # point projections (3 x 16384 candidates) instead of 1.3M pixels.
+        from rm_radar_tpu.locate.locator import _compact_from_candidates
+
+        pq = np.full((3, 16384), diff.size, np.int32)
+        dq = np.zeros((3, 16384), np.float32)
+        flat = diff.reshape(-1)
+        nz = np.flatnonzero(flat)
+        for q in range(3):
+            take = rng.choice(nz, size=500, replace=False)
+            pq[q, : len(take)] = take
+            dq[q, : len(take)] = flat[take]
+        pq_d, dq_d = jax.device_put(pq), jax.device_put(dq)
+        results["compact_candidates_2048"] = timeit(
+            lambda x, p, v: _compact_from_candidates(x, p, v, 2048),
+            (d, pq_d, dq_d),
         )
 
     if "nms" in ops:
