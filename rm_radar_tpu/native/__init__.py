@@ -46,13 +46,21 @@ def parse_pcd_bytes(
     if lib is None:
         return None
     if max_points is None:
-        # Cheap header peek for the exact allocation size.
+        # Cheap header peek for the exact allocation size. The header count
+        # is untrusted input: clamp it to what the payload could possibly
+        # hold (a point needs >= 2 bytes even in the tersest ASCII form), so
+        # a malformed "POINTS 999999999999" line cannot drive a huge
+        # allocation, and a negative count cannot reach the native layer.
         head = data[:512]
         max_points = 1 << 20
         for line in head.split(b"\n"):
             if line.startswith(b"POINTS"):
-                max_points = int(line.split()[1])
+                try:
+                    max_points = int(line.split()[1])
+                except (IndexError, ValueError):
+                    pass
                 break
+        max_points = max(0, min(max_points, len(data) // 2 + 1))
     out = np.empty((max_points, 3), dtype=np.float32)
     n = lib.pcd_parse(
         data,

@@ -65,8 +65,11 @@ extern "C" {
 // points written, or -1 on a malformed header.
 long pcd_parse(const char* buf, long size, float* out, long max_points) {
     Header h = parse_header(buf, static_cast<size_t>(size));
-    if (!h.ok || h.n_fields < 3) return -1;
+    if (!h.ok || h.n_fields < 3 || max_points < 0) return -1;
+    // A negative POINTS count (malformed header) must clamp to zero before
+    // any size arithmetic: (size_t)(-n * 12) is a ~1.8e19-byte memcpy.
     long n = h.n_points < max_points ? h.n_points : max_points;
+    if (n < 0) n = 0;
 
     if (h.binary) {
         const char* src = buf + h.data_offset;
