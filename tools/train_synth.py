@@ -200,6 +200,12 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="assets/models")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="orbax checkpoint directory: saves the full "
+                    "TrainState every --ckpt-every steps and resumes from "
+                    "the latest checkpoint on restart (pod-preemption "
+                    "recovery; train/checkpoint.py)")
+    ap.add_argument("--ckpt-every", type=int, default=1000)
     args = ap.parse_args()
 
     import jax
@@ -267,6 +273,18 @@ def main() -> int:
     )
     state = create_train_state(model, variables, tx)
 
+    mgr = None
+    start_step = 1
+    if args.ckpt_dir:
+        from rm_radar_tpu.train import checkpoint as ckpt
+
+        mgr = ckpt.make_manager(args.ckpt_dir)
+        restored = ckpt.restore_latest(mgr, state)
+        if restored is not None:
+            state = restored
+            start_step = int(state.step) + 1
+            print(f"resumed at step {start_step}", file=sys.stderr, flush=True)
+
     steps = []
     for m in models:
         steps.append(
@@ -285,10 +303,14 @@ def main() -> int:
         flush=True,
     )
     t0 = time.time()
-    for i in range(1, args.steps):
+    for i in range(start_step, args.steps):
         k = i % len(batch_sets)
         bs = batch_sets[k]
         state, metrics = steps[k](state, *bs[(i // len(batch_sets)) % len(bs)])
+        if mgr is not None and i % args.ckpt_every == 0:
+            from rm_radar_tpu.train import checkpoint as ckpt
+
+            ckpt.save(mgr, i, state)  # async; training continues
         if i % 400 == 0 or i == args.steps - 1:
             m = jax.device_get(metrics)
             print(
