@@ -71,6 +71,105 @@ def _flatten_raw(raw_outputs, cfg: YoloConfig):
     )
 
 
+def _decode_boxes(dist_logits, centers, strides, cfg: YoloConfig):
+    """DFL logits -> predicted xyxy boxes in pixels [B, A, 4]."""
+    bins = jnp.arange(cfg.reg_max, dtype=jnp.float32)
+    ltrb = jnp.sum(jax.nn.softmax(dist_logits, axis=-1) * bins, axis=-1)
+    sx, sy = centers[None, :, 0], centers[None, :, 1]
+    s = strides[None, :]
+    return jnp.stack(
+        [
+            sx - ltrb[..., 0] * s,
+            sy - ltrb[..., 1] * s,
+            sx + ltrb[..., 2] * s,
+            sy + ltrb[..., 3] * s,
+        ],
+        axis=-1,
+    )
+
+
+def _iou_xyxy(a: Array, b: Array) -> Array:
+    """Plain IoU between xyxy boxes [..., 4] (broadcasting)."""
+    iw = jnp.maximum(
+        jnp.minimum(a[..., 2], b[..., 2]) - jnp.maximum(a[..., 0], b[..., 0]),
+        0.0,
+    )
+    ih = jnp.maximum(
+        jnp.minimum(a[..., 3], b[..., 3]) - jnp.maximum(a[..., 1], b[..., 1]),
+        0.0,
+    )
+    inter = iw * ih
+    area_a = jnp.maximum(a[..., 2] - a[..., 0], 0.0) * jnp.maximum(
+        a[..., 3] - a[..., 1], 0.0
+    )
+    area_b = jnp.maximum(b[..., 2] - b[..., 0], 0.0) * jnp.maximum(
+        b[..., 3] - b[..., 1], 0.0
+    )
+    return inter / (area_a + area_b - inter + 1e-9)
+
+
+def tal_assign(
+    inside: Array,
+    cls_logits: Array,
+    pred_xyxy: Array,
+    gt_xyxy: Array,
+    gt_label: Array,
+    top_k: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+) -> Tuple[Array, Array, Array]:
+    """Task-aligned assignment (Ultralytics TaskAlignedAssigner semantics).
+
+    For each gt, anchors are scored by alignment = score^alpha * iou^beta
+    (score = the anchor's sigmoid logit for the gt's class, iou against the
+    anchor's *predicted* box), restricted to anchors whose center lies inside
+    the gt; the top_k aligned anchors become its positives. An anchor claimed
+    by several gts goes to the one with the highest alignment. Returns
+    (assigned [B, A] gt index, positive [B, A], norm_align [B, A] — the
+    alignment normalized per gt so its max equals the gt's best iou, the
+    soft classification target TAL trains against).
+
+    The fixed-capacity masked formulation replaces Ultralytics' boolean
+    indexing; padded gt slots (valid=False) never receive anchors because
+    ``inside`` is already masked by validity.
+    """
+    b, a, g = inside.shape
+    scores = jax.nn.sigmoid(cls_logits)  # [B, A, C]
+    cls_of_gt = jnp.take_along_axis(
+        scores, jnp.clip(gt_label, 0, scores.shape[-1] - 1)[:, None], axis=-1
+    )  # [B, A, G]
+    iou = _iou_xyxy(pred_xyxy[:, :, None, :], gt_xyxy[:, None, :, :])
+    iou = jnp.maximum(iou, 0.0)
+    align = (cls_of_gt**alpha) * (iou**beta)
+    align = jnp.where(inside, align, 0.0)
+
+    # Per-gt top_k over anchors (ties/zeros excluded by a positive floor).
+    k = min(top_k, a)
+    topv = jax.lax.top_k(align.transpose(0, 2, 1), k)[0]  # [B, G, k]
+    thresh = topv[..., -1][:, None, :]  # k-th best per gt
+    is_topk = inside & (align >= jnp.maximum(thresh, 1e-9)) & (align > 0.0)
+
+    # Conflict resolution: the gt with the highest alignment wins the anchor.
+    claimed = jnp.where(is_topk, align, -1.0)
+    assigned = jnp.argmax(claimed, axis=-1)  # [B, A]
+    positive = jnp.any(is_topk, axis=-1)
+
+    # Normalized alignment target: per gt, align * max_iou / max_align over
+    # its claimed anchors (Ultralytics' norm_align_metric).
+    win = (
+        jax.nn.one_hot(assigned, g, dtype=bool)
+        & positive[..., None]
+        & is_topk
+    )
+    amax = jnp.max(jnp.where(win, align, 0.0), axis=1)  # [B, G]
+    imax = jnp.max(jnp.where(win, iou, 0.0), axis=1)
+    scale = imax / jnp.maximum(amax, 1e-9)  # [B, G]
+    norm_align = jnp.take_along_axis(
+        align * scale[:, None, :], assigned[..., None], axis=-1
+    )[..., 0]
+    return assigned, positive, jnp.where(positive, norm_align, 0.0)
+
+
 def detection_loss(
     raw_outputs,
     targets: DetectionTargets,
@@ -79,6 +178,7 @@ def detection_loss(
     cls_weight: float = 0.5,
     dfl_weight: float = 1.5,
     cls_smooth: float = 0.05,
+    assigner: str = "center",
 ) -> Tuple[Array, dict]:
     """Total loss (scalar) and a metrics dict.
 
@@ -88,6 +188,10 @@ def detection_loss(
     confidence tie (detector.cu:350, a preserved quirk), so saturated
     duplicate boxes would never suppress each other and crowd real objects
     out of the fixed-capacity output.
+
+    ``assigner``: "center" (closest-center-inside-box; simple and robust on
+    the synthetic scenes) or "tal" (task-aligned assignment with soft
+    alignment-scaled classification targets — the Ultralytics scheme).
     """
     dist_logits, cls_logits = _flatten_raw(raw_outputs, cfg)
     b, a = cls_logits.shape[:2]
@@ -110,12 +214,24 @@ def detection_loss(
         & (cy < gt_y1[:, None])
         & targets.valid[:, None]
     )
-    gcx = (gt_x0 + gt_x1)[:, None] / 2
-    gcy = (gt_y0 + gt_y1)[:, None] / 2
-    d2 = (cx - gcx) ** 2 + (cy - gcy) ** 2
-    d2 = jnp.where(inside, d2, jnp.inf)
-    assigned = jnp.argmin(d2, axis=-1)  # [B, A]
-    positive = jnp.any(inside, axis=-1)  # [B, A]
+    soft_target = None
+    if assigner == "tal":
+        pred_xyxy = _decode_boxes(dist_logits, centers, strides, cfg)
+        gt_xyxy = jnp.stack([gt_x0, gt_y0, gt_x1, gt_y1], axis=-1)
+        assigned, positive, soft_target = tal_assign(
+            inside,
+            cls_logits,
+            jax.lax.stop_gradient(pred_xyxy),
+            gt_xyxy,
+            targets.label,
+        )
+    else:
+        gcx = (gt_x0 + gt_x1)[:, None] / 2
+        gcy = (gt_y0 + gt_y1)[:, None] / 2
+        d2 = (cx - gcx) ** 2 + (cy - gcy) ** 2
+        d2 = jnp.where(inside, d2, jnp.inf)
+        assigned = jnp.argmin(d2, axis=-1)  # [B, A]
+        positive = jnp.any(inside, axis=-1)  # [B, A]
 
     # Gather assigned gt quantities per anchor.
     def gather_gt(field):  # [B, G] -> [B, A]
@@ -161,11 +277,14 @@ def detection_loss(
     box_loss = jnp.where(positive, 1.0 - ciou, 0.0)
 
     # Classification BCE: one-hot target on positives, zeros elsewhere.
-    cls_t = (
-        jax.nn.one_hot(alab, cfg.num_classes)
-        * positive[..., None]
-        * (1.0 - cls_smooth)
+    # TAL replaces the hard 1.0 with the normalized alignment (soft target),
+    # which also bounds it away from sigmoid saturation like cls_smooth.
+    pos_strength = (
+        jnp.minimum(soft_target, 1.0 - cls_smooth)
+        if soft_target is not None
+        else positive.astype(jnp.float32) * (1.0 - cls_smooth)
     )
+    cls_t = jax.nn.one_hot(alab, cfg.num_classes) * pos_strength[..., None]
     bce = jnp.maximum(cls_logits, 0) - cls_logits * cls_t + jnp.log1p(
         jnp.exp(-jnp.abs(cls_logits))
     )

@@ -71,6 +71,15 @@ def train_step(
     )
 
 
+def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
+    """Exponential moving average of parameters (the Ultralytics trainer
+    keeps an EMA model for evaluation/export; decay 0.999 is its default
+    scale). Call after each optimizer step; evaluate/export the EMA tree."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p, ema_params, params
+    )
+
+
 def make_sharded_train_step(model: YoloV8, tx: optax.GradientTransformation, mesh: Mesh):
     """jit the train step over a mesh: batch sharded on DATA_AXIS, state
     replicated. XLA inserts the gradient all-reduce over ICI."""
