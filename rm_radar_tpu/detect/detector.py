@@ -21,6 +21,7 @@ no host round-trips.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Tuple
 
 import jax
@@ -31,7 +32,12 @@ from ..configs import DetectorConfig, RobotDetectorConfig
 from ..geometry import union_iou
 from ..models.yolov8 import create_model, init_params
 from ..ops.detect_ops import postprocess
-from ..ops.preprocess import letterbox, letterbox_crop, letterbox_crop_s2d
+from ..ops.preprocess import (
+    letterbox,
+    letterbox_crop,
+    letterbox_crop_s2d,
+    letterbox_s2d,
+)
 from ..types import Array, Detections, RobotBatch, TrackState
 
 
@@ -64,6 +70,9 @@ class Detector:
 
             variables = maybe_adapt_stem(variables, self.model_cfg.s2d_stem)
         self.variables = variables
+        self.use_letterbox_s2d = (
+            os.environ.get("RM_RADAR_LETTERBOX_S2D", "0") == "1"
+        )
         self._jitted = {}
 
     def raw_forward(self, blobs: Array) -> Array:
@@ -75,13 +84,25 @@ class Detector:
     ) -> Detections:
         """Pure single-image path (traceable): uint8 HWC BGR -> Detections.
 
-        (Emitting the full-frame blob in s2d layout like the armor crops was
-        measured neutral here — batch 1, static matrices — so the simple
-        static letterbox stands.)
+        With an s2d-stem model and ``use_letterbox_s2d``, the blob is emitted
+        directly in s2d layout by the 2D channel-encoded letterbox
+        (ops/preprocess.letterbox_s2d) — the [H, W, 3] blob and its reshape/
+        transpose chain never exist. Off by default pending an end-to-end A/B
+        on hardware (standalone microbenches are transfer-dominated on the
+        tunneled dev chip; a parity-split [H, W, 3] variant had measured
+        neutral earlier).
         """
         cfg = self.config
-        blob, pparam = letterbox(image, cfg.input_height, cfg.input_width)
-        raw = self.model.apply(self.variables, blob[None])[0]
+        if self.use_letterbox_s2d and getattr(
+            getattr(self.model, "cfg", None), "s2d_stem", False
+        ):
+            blob, pparam = letterbox_s2d(
+                image, cfg.input_height, cfg.input_width
+            )
+            raw = self.model.apply(self.variables, blob[None], pre_s2d=True)[0]
+        else:
+            blob, pparam = letterbox(image, cfg.input_height, cfg.input_width)
+            raw = self.model.apply(self.variables, blob[None])[0]
         return postprocess(
             raw,
             pparam,

@@ -243,3 +243,22 @@ def test_crop_batch_windowed_matches_full(rng):
                     assert_blob_equal(
                         np.asarray(win_blobs)[i], np.asarray(ref_blobs)[i]
                     )
+
+
+def test_letterbox_s2d_matches_reference_path(rng):
+    """letterbox_s2d (the 2D channel-encoded matmul formulation) must equal
+    space_to_depth(letterbox(img)) exactly in f32, including pad placement,
+    BGR->RGB order and uint8 truncation — across aspect ratios that pad
+    rows, pad columns, or neither."""
+    from rm_radar_tpu.models.yolov8 import space_to_depth
+
+    for (h, w), dst in (((100, 128), 64), ((128, 100), 64), ((64, 64), 64),
+                        ((127, 53), 32)):
+        img = jnp.asarray(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        blob, pp = preprocess.letterbox(img, dst, dst)
+        expected = np.asarray(space_to_depth(np.asarray(blob)[None]))[0]
+        got, pp2 = preprocess.letterbox_s2d(img, dst, dst)
+        np.testing.assert_array_equal(np.asarray(got), expected, err_msg=str((h, w)))
+        assert np.isclose(float(pp.ratio), float(pp2.ratio))
+        assert np.isclose(float(pp.dw), float(pp2.dw))
+        assert np.isclose(float(pp.dh), float(pp2.dh))

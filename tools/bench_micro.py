@@ -184,6 +184,12 @@ def main() -> int:
             lambda im: space_to_depth(letterbox(im)[0][None]), (img,)
         )
 
+        from rm_radar_tpu.ops.preprocess import letterbox_s2d
+
+        results["letterbox_s2d_2dmatmul"] = timeit(
+            lambda im: letterbox_s2d(im)[0], (img,)
+        )
+
     for k, v in results.items():
         print(f"{k}: {v:.3f} ms")
     return 0
