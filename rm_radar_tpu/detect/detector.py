@@ -251,22 +251,32 @@ def _crop_batch(image: Array, cars: Detections, crop_fn, window: int):
     fits = jnp.all(jnp.where(cars.valid, (cw <= win_w) & (ch <= win_h), True))
 
     def windowed_path(xywh):
-        def one(box):
+        # The slice loop is unrolled on purpose: vmap of dynamic_slice with
+        # per-car offsets has no batched lowering and becomes a generic
+        # gather — the slowest primitive on TPU. Unrolled, each car is a
+        # true dynamic_slice (a fast HBM block copy); only the resample
+        # below is vmapped.
+        windows, shifted = [], []
+        for i in range(xywh.shape[0]):
+            box = xywh[i]
             bx = jnp.minimum(
                 jnp.clip(box[0].astype(jnp.int32), 0, src_w - 1), src_w - win_w
             )
             by = jnp.minimum(
                 jnp.clip(box[1].astype(jnp.int32), 0, src_h - 1), src_h - win_h
             )
-            neighborhood = jax.lax.dynamic_slice(
-                image, (by, bx, jnp.int32(0)), (win_h, win_w, 3)
+            windows.append(
+                jax.lax.dynamic_slice(
+                    image, (by, bx, jnp.int32(0)), (win_h, win_w, 3)
+                )
             )
             shift = jnp.stack(
                 [bx, by, jnp.int32(0), jnp.int32(0)]
             ).astype(box.dtype)
-            return crop_fn(neighborhood, crop_xywh=box - shift)
-
-        return jax.vmap(one)(xywh)
+            shifted.append(box - shift)
+        return jax.vmap(lambda w, b: crop_fn(w, crop_xywh=b))(
+            jnp.stack(windows), jnp.stack(shifted)
+        )
 
     return jax.lax.cond(fits, windowed_path, full_path, cars.xywh)
 
