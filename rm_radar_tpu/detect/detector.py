@@ -306,7 +306,12 @@ class RobotDetector:
         )
         self._jitted = {}
 
-    def detect_fn(self, image: Array, max_cars: int | None = None) -> RobotBatch:
+    def detect_fn(
+        self,
+        image: Array,
+        max_cars: int | None = None,
+        crop_window: int | None = None,
+    ) -> RobotBatch:
         """Full fused cascade for one frame (traceable).
 
         image: uint8 [H, W, 3] BGR. Returns a RobotBatch of capacity
@@ -343,8 +348,15 @@ class RobotDetector:
             dst_width=cfg.armor_input_width,
             matmul_dtype=mm_dtype,
         )
+        # crop_window=0 disables the windowed fast path. Batched callers
+        # (vmapped multi-camera step) MUST pass 0: under vmap the batch-level
+        # lax.cond becomes a select that executes BOTH branches, so the
+        # window would add cost instead of saving it.
         blobs, pparams = _crop_batch(
-            image, cars, crop_fn, cfg.crop_window
+            image,
+            cars,
+            crop_fn,
+            cfg.crop_window if crop_window is None else crop_window,
         )
         if use_s2d:
             raw = self.armor.model.apply(

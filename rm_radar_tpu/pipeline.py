@@ -109,7 +109,12 @@ class Radar:
     # ---------------------------------------------------------------- fused
 
     def _frame_fn(
-        self, state: LocatorState, image, points, max_cars: int | None = None
+        self,
+        state: LocatorState,
+        image,
+        points,
+        max_cars: int | None = None,
+        crop_window: int | None = None,
     ):
         """One fused device step: cascade detect + locate update/cluster/search.
 
@@ -119,7 +124,9 @@ class Radar:
         re-running the locate update (which would double-push the depth
         queue). Callers that never repair just drop it.
         """
-        robots = self.detector.detect_fn(image, max_cars=max_cars)
+        robots = self.detector.detect_fn(
+            image, max_cars=max_cars, crop_window=crop_window
+        )
         state, diff = locate_mod.update(
             state, points, self.locator.calib, self.config.locator
         )
@@ -145,7 +152,9 @@ class Radar:
             robots, fg, self.locator.calib, self.config.locator
         )
 
-    def _frame_fn_tracked(self, carry, image, points, timestamp):
+    def _frame_fn_tracked(
+        self, carry, image, points, timestamp, crop_window: int | None = None
+    ):
         """Fully fused step including the batched on-device tracker: the
         whole detect+locate+track frame is ONE XLA program; the host only
         formats results. Tracking semantics are identical to the host
@@ -153,7 +162,9 @@ class Radar:
         from .track import device_tracker as dtrack
 
         loc_state, store = carry
-        robots, loc_state, _ = self._frame_fn(loc_state, image, points)
+        robots, loc_state, _ = self._frame_fn(
+            loc_state, image, points, crop_window=crop_window
+        )
         store, robots = dtrack.update(
             store, robots, timestamp, self.config.tracker
         )
@@ -266,11 +277,17 @@ class Radar:
         track fields filled). carries = (locator states, track stores), both
         with a leading camera axis (see make_batch_tracked_state).
         """
+        # crop_window=0 under vmap: the batch-level window cond would become
+        # a select executing BOTH crop paths per camera (see detect_fn).
         if tracked:
-            fn = jax.vmap(self._frame_fn_tracked)
+            fn = jax.vmap(
+                lambda c, i, p, t: self._frame_fn_tracked(
+                    c, i, p, t, crop_window=0
+                )
+            )
         else:
             fn = jax.vmap(
-                lambda s, i, p: self._frame_fn(s, i, p)[:2]
+                lambda s, i, p: self._frame_fn(s, i, p, crop_window=0)[:2]
             )
         if mesh is None:
             return jax.jit(fn, donate_argnums=(0,))
