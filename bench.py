@@ -16,15 +16,16 @@ Flags (env):
                  behind the reference's headline numbers)
   BENCH_MODE     "stream" (default): pipelined single-camera ms/frame p50;
                  "batch8": 8-camera batched step, reports frames/sec/chip
-  BENCH_ARMOR_SIZE  armor-stage network input (default 416). The reference
+  BENCH_ARMOR_SIZE  armor-stage network input (default 320). The reference
                  runs its armor engine at 640, but radar car crops are
-                 100-400 px, so 640 mostly upsamples; 416 cuts armor FLOPs
-                 2.4x with zero measured accuracy cost once trained for
-                 (held-out sweep: car P/R 1.0/1.0 and label accuracy 1.0 at
-                 the bench's own yolov8m, 0.993-1.0 at yolov8n across
-                 640/416/320 — tools/eval_synth.py, PERF.md). Set 640 for
-                 the strict reference configuration; that number is also
-                 recorded in PERF.md.
+                 100-400 px, so 640 mostly upsamples; 320 cuts armor FLOPs
+                 4x with zero measured accuracy cost once trained for
+                 (held-out sweeps: car P/R 1.0/1.0 and label accuracy 1.0
+                 at the bench's own yolov8m for BOTH 416 and 320, and
+                 1.0/0.993/1.0 at yolov8n across 640/416/320 —
+                 tools/eval_synth.py, PERF.md). Set 640 for the strict
+                 reference configuration; 416/640 numbers are recorded in
+                 PERF.md.
   BENCH_WEIGHTS  "synth" (default when assets/models has checkpoints for
                  BENCH_VARIANT): real trained weights + synthetic 2592x2048
                  scenes with realistic car counts, so detection counts, crop
@@ -147,7 +148,7 @@ def main() -> int:
     n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
-    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "416"))
+    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "320"))
 
     log(f"devices: {jax.devices()}")
 
