@@ -84,13 +84,17 @@ def bench_batch8(
     # this dev environment has ~24 ms RTT, which must stay off the timed path.
     ts_dev = [
         jax.device_put(np.full((b,), 1.0 + 0.1 * i, np.float32))
-        for i in range(n_steps + 1)
+        for i in range(n_steps)
     ]
-    jax.block_until_ready([imgs, clds, ts_dev])
+    # Warmup timestamp strictly BEFORE the timed sequence: tracks spawned
+    # during the compile step must have dt > 0 at timed step 0 (a later
+    # warmup timestamp would Singer-predict every track backwards in time).
+    ts_warm = jax.device_put(np.full((b,), 0.5, np.float32))
+    jax.block_until_ready([imgs, clds, ts_dev, ts_warm])
     carries = radar.make_batch_tracked_state(b)
     step = radar.batch_step(tracked=True)
     t0 = time.perf_counter()
-    carries, batch = step(carries, imgs, clds, ts_dev[-1])
+    carries, batch = step(carries, imgs, clds, ts_warm)
     _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
     log(f"batch8 tracked compile+first: {time.perf_counter() - t0:.1f}s")
 

@@ -142,11 +142,15 @@ class LocatorConfig:
     # capped at 1000 points anyway (max_cluster_size).
     max_foreground: int = 2048
     cc_iterations: int = 10  # label-propagation rounds (with pointer jumping)
-    # Foreground compaction strategy: False (default) = dense top_k over
-    # negated pixel indices, the fastest measured lowering on v5e (~2.6 ms
-    # at 1.3M px); True = the Pallas sparse-scan kernel (correct everywhere,
-    # but Mosaic's sequential scalar loops make it ~20x slower on current
-    # toolchains — measurements in ops/pallas_kernels.py and PERF.md).
+    # Foreground compaction strategy for the *candidate-less* cluster(diff)
+    # API only. The pipeline (Radar/_frame_fn and Locator.cluster) always
+    # supplies the LocatorState's projection queues and uses the point-driven
+    # candidate compaction, which bypasses this flag entirely. When cluster()
+    # is called with just a diff image: False (default) = dense top_k over
+    # negated pixel indices (~2.6 ms at 1.3M px on v5e); True = the Pallas
+    # sparse-scan kernel (correct everywhere, but Mosaic's sequential scalar
+    # loops make it ~20x slower — measurements in ops/pallas_kernels.py and
+    # PERF.md).
     use_pallas_compaction: bool = False
 
     @property

@@ -247,14 +247,19 @@ def _compact_from_candidates(
     )
     keep = first & (skey < hw)
     key2 = jnp.where(keep, skey, hw)
-    neg, pos = jax.lax.top_k(-key2, n_out)
+    # Configs may ask for more foreground slots than there are candidates
+    # (max_foreground > queue_size * max_points): top_k caps at the
+    # candidate count and the output pads with invalid slots.
+    k = min(n_out, key2.shape[0])
+    neg, pos = jax.lax.top_k(-key2, k)
     idx = -neg
     valid = idx < hw
     vals = depth[order][pos]
-    return (
-        jnp.where(valid, idx, -1).astype(jnp.int32),
-        jnp.where(valid, vals, 0.0),
-    )
+    pad = n_out - k
+    idx = jnp.pad(jnp.where(valid, idx, -1).astype(jnp.int32), (0, pad),
+                  constant_values=-1)
+    val = jnp.pad(jnp.where(valid, vals, 0.0), (0, pad))
+    return idx, val
 
 
 def cluster(

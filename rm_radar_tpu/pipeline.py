@@ -268,8 +268,10 @@ class Radar:
         initial placement — there is no cross-camera communication).
 
         ``tracked=False``: fn(states, images [B,H,W,3] u8, points [B,N,3])
-        -> (RobotBatch with leading camera axis, new states); tracking is
-        the caller's job (host trackers).
+        -> (new states, RobotBatch with leading camera axis); tracking is
+        the caller's job (host trackers). Both modes return the carry
+        FIRST (the lax.scan convention) — they used to differ, which made
+        switching modes a silent pytree-swap trap.
 
         ``tracked=True``: the batched on-device tracker runs inside the same
         program (vmap of the fully-fused frame over cameras) — fn(carries,
@@ -287,7 +289,9 @@ class Radar:
             )
         else:
             fn = jax.vmap(
-                lambda s, i, p: self._frame_fn(s, i, p, crop_window=0)[:2]
+                lambda s, i, p: tuple(
+                    reversed(self._frame_fn(s, i, p, crop_window=0)[:2])
+                )
             )
         if mesh is None:
             return jax.jit(fn, donate_argnums=(0,))
@@ -325,10 +329,12 @@ class Radar:
             states = self.make_batch_state(b)
         if trackers is None:
             trackers = [Tracker(self.config.tracker) for _ in range(b)]
-        key = ("batch", images.shape, mesh is not None)
+        # The mesh is part of the key: the same image shape compiled for a
+        # different mesh must not reuse the first mesh's sharded program.
+        key = ("batch", images.shape, mesh)
         if key not in self._jitted:
             self._jitted[key] = self.batch_step(mesh)
-        batch, states = self._jitted[key](states, images, clouds)
+        states, batch = self._jitted[key](states, images, clouds)
         host = jax.tree_util.tree_map(np.asarray, batch)
         results = []
         for i in range(b):
@@ -362,7 +368,7 @@ class Radar:
         b = images.shape[0]
         if carries is None:
             carries = self.make_batch_tracked_state(b)
-        key = ("batch_tracked", images.shape, mesh is not None)
+        key = ("batch_tracked", images.shape, mesh)
         if key not in self._jitted:
             self._jitted[key] = self.batch_step(mesh, tracked=True)
         ts = jnp.asarray(np.asarray(timestamps, np.float32))

@@ -218,9 +218,13 @@ def detection_loss(
     if assigner == "tal":
         pred_xyxy = _decode_boxes(dist_logits, centers, strides, cfg)
         gt_xyxy = jnp.stack([gt_x0, gt_y0, gt_x1, gt_y1], axis=-1)
+        # The assigner runs outside the gradient (Ultralytics wraps it in
+        # no_grad): both the predicted boxes AND the class scores feeding
+        # the alignment are stopped, otherwise the optimizer can lower the
+        # loss by shrinking the soft target instead of fitting it.
         assigned, positive, soft_target = tal_assign(
             inside,
-            cls_logits,
+            jax.lax.stop_gradient(cls_logits),
             jax.lax.stop_gradient(pred_xyxy),
             gt_xyxy,
             targets.label,

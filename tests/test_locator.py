@@ -200,3 +200,29 @@ def test_candidate_compaction_matches_dense():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=f"{name} n_pts={n_pts}"
             )
+
+
+def test_candidate_compaction_capacity_exceeds_candidates():
+    """max_foreground > queue_size * max_points must pad, not crash (the
+    dense path always supported such configs)."""
+    import dataclasses
+
+    import jax
+
+    small = dataclasses.replace(CFG, max_points=64, max_foreground=256)
+    state = loc.make_state(small)
+    pts = [_point_at_pixel(u * 2, v * 2, 10.0) for u, v in
+           [(5, 5), (6, 5), (7, 5)]]
+    cloud = np.zeros((small.max_points, 3), np.float32)
+    cloud[: len(pts)] = np.asarray(pts, np.float32)
+    diff = None
+    for _ in range(4):
+        state, diff = jax.jit(
+            lambda s, p: loc.update(s, p, CAL, small)
+        )(state, np.asarray(cloud))
+    dense = loc.cluster(diff, CAL, small)
+    cand = loc.cluster(
+        diff, CAL, small, candidates=(state.pix_queue, state.depth_queue)
+    )
+    for a, b, name in zip(dense, cand, dense._fields):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)

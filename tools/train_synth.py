@@ -206,6 +206,10 @@ def main() -> int:
                     "the latest checkpoint on restart (pod-preemption "
                     "recovery; train/checkpoint.py)")
     ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="parameter-EMA decay (e.g. 0.999): the saved "
+                    "checkpoint then holds the EMA weights, as Ultralytics "
+                    "evaluates/exports its EMA model. 0 = raw weights.")
     args = ap.parse_args()
 
     import jax
@@ -295,18 +299,35 @@ def main() -> int:
         )
 
     t0 = time.time()
-    state, metrics = steps[0](state, *batch_sets[0][0])
-    print(
-        f"compile+first step: {time.time() - t0:.0f}s "
-        f"loss={float(metrics['loss']):.3f}",
-        file=sys.stderr,
-        flush=True,
-    )
+    if start_step == 1:  # resumed runs compile inside the loop instead —
+        # an unconditional extra step here would advance the restored state
+        # off-schedule by one step per preemption.
+        state, metrics = steps[0](state, *batch_sets[0][0])
+        print(
+            f"compile+first step: {time.time() - t0:.0f}s "
+            f"loss={float(metrics['loss']):.3f}",
+            file=sys.stderr,
+            flush=True,
+        )
+    ema_params = None
+    ema_step = None
+    if args.ema > 0.0:
+        import functools
+
+        from rm_radar_tpu.train.train_step import ema_update
+
+        ema_params = jax.tree_util.tree_map(lambda x: x, state.params)
+        ema_step = jax.jit(
+            functools.partial(ema_update, decay=args.ema)
+        )
+
     t0 = time.time()
     for i in range(start_step, args.steps):
         k = i % len(batch_sets)
         bs = batch_sets[k]
         state, metrics = steps[k](state, *bs[(i // len(batch_sets)) % len(bs)])
+        if ema_step is not None:
+            ema_params = ema_step(ema_params, state.params)
         if mgr is not None and i % args.ckpt_every == 0:
             from rm_radar_tpu.train import checkpoint as ckpt
 
@@ -329,7 +350,11 @@ def main() -> int:
         args.out, f"{args.stage}_synth_{args.variant}{suffix}.npz"
     )
     save_variables(
-        path, {"params": state.params, "batch_stats": state.batch_stats}
+        path,
+        {
+            "params": ema_params if ema_params is not None else state.params,
+            "batch_stats": state.batch_stats,
+        },
     )
     print(f"saved {path}", file=sys.stderr, flush=True)
     return 0
