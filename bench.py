@@ -296,8 +296,12 @@ def main() -> int:
             )
 
     times = []
+    stream_stats: dict = {}
+    depth = int(os.environ.get("BENCH_DEPTH", "2"))
     t_prev = time.perf_counter()
-    for _ in radar.run_stream(frame_gen(), buckets=buckets):
+    for _ in radar.run_stream(
+        frame_gen(), depth=depth, buckets=buckets, stats=stream_stats
+    ):
         now = time.perf_counter()
         times.append(now - t_prev)
         t_prev = now
@@ -310,6 +314,7 @@ def main() -> int:
         f"mean={times_ms.mean():.2f}ms min={times_ms.min():.2f}ms "
         f"(variant={variant}, max_cars={max_cars})"
     )
+    log(f"stream stats: {stream_stats}")
 
     bucket_desc = (
         f"armor buckets {'/'.join(map(str, buckets))}->{max_cars}"

@@ -434,7 +434,7 @@ class Radar:
         batch, self.locator.state, _ = step(self.locator.state, image, points)
         return self._track_and_collect(batch, frame.timestamp or 0.0)
 
-    def run_stream(self, frames, depth: int = 2, buckets=None):
+    def run_stream(self, frames, depth: int = 2, buckets=None, stats=None):
         """Pipelined frame loop: yields robot lists ``depth`` frames behind.
 
         Dispatches the fused step for upcoming frames before fetching earlier
@@ -458,6 +458,12 @@ class Radar:
         detector.cpp:208-227); the repair costs one extra cascade on the
         rare escalation frame only. None (default) = single max_cars
         bucket.
+
+        ``stats``: optional dict the stream fills with operational counters
+        (frames, repairs, escalations, de-escalations, per-bucket frame
+        counts) — the observability hook behind the bench's tail-latency
+        diagnosis (repair frames run the cascade twice, so they land in the
+        p99, not the p50).
         """
         import collections
 
@@ -470,6 +476,12 @@ class Radar:
             bucket_list = (max_cars,)
         cur = 0
         quiet = 0
+        if stats is not None:
+            stats.setdefault("frames", 0)
+            stats.setdefault("repairs", 0)
+            stats.setdefault("escalations", 0)
+            stats.setdefault("de_escalations", 0)
+            stats.setdefault("bucket_frames", {b: 0 for b in bucket_list})
 
         def consume(entry):
             nonlocal cur, quiet
@@ -479,11 +491,16 @@ class Radar:
             # detect+search at the next bucket until unsaturated or at
             # capacity. Results then match fixed-capacity exactly.
             bi = bucket_list.index(b0)
+            if stats is not None:
+                stats["frames"] += 1
+                stats["bucket_frames"][b0] += 1
             while (
                 int(host.n_cars) >= bucket_list[bi]
                 and bi < len(bucket_list) - 1
             ):
                 bi += 1
+                if stats is not None:
+                    stats["repairs"] += 1
                 b_next = bucket_list[bi]
                 repair = self._get_jitted(
                     ("repair", tuple(image0.shape), b_next),
@@ -493,12 +510,15 @@ class Radar:
                 batch0 = repair(image0, fg0)
                 host = RobotBatch(*jax.device_get(tuple(batch0)))
             robots = self._collect_host(host, ts0)
+            prev = cur
             if bi > cur:  # the repair proved the bigger bucket is needed
                 cur, quiet = bi, 0
             else:
                 cur, quiet = self._adjust_bucket(
                     int(host.n_cars), bucket_list[bi], bucket_list, cur, quiet
                 )
+            if stats is not None and cur != prev:
+                stats["escalations" if cur > prev else "de_escalations"] += 1
             return robots
 
         # entries: (RobotBatch, Foreground, image, timestamp, bucket)

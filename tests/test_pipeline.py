@@ -269,3 +269,25 @@ def test_adjust_bucket_logic():
     assert cur == 0
     # at top bucket, saturation stays put
     assert Radar._adjust_bucket(20, 20, buckets, 1, 0) == (1, 0)
+
+
+@pytest.mark.slow
+def test_run_stream_stats_counters(radar):
+    """The stats hook must record frames, bucket occupancy and repair/
+    escalation events consistently with the stream's yielded output."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    cloud = rng.uniform(1.0, 5.0, size=(100, 3)).astype(np.float32)
+
+    def gen(n):
+        from rm_radar_tpu.types import Frame as F
+
+        for t in range(n):
+            yield F(image=img, point_cloud=cloud, timestamp=0.1 * t)
+
+    stats = {}
+    out = list(radar.run_stream(gen(6), buckets=(2,), stats=stats))
+    assert len(out) == 6
+    assert stats["frames"] == 6
+    assert sum(stats["bucket_frames"].values()) == 6
+    assert stats["repairs"] >= 0 and stats["escalations"] >= 0
