@@ -297,7 +297,12 @@ def main() -> int:
 
     times = []
     stream_stats: dict = {}
-    depth = int(os.environ.get("BENCH_DEPTH", "2"))
+    # Pipeline depth 3: one extra in-flight frame absorbs this link's
+    # latency hiccups (interleaved A/B, both pairs: 9.0 vs 11.6 and 11.4 vs
+    # 18.8 ms p50 against depth 2). The library default stays 2 — depth
+    # trades result lag for smoothness, and only the bench prefers
+    # throughput unconditionally.
+    depth = int(os.environ.get("BENCH_DEPTH", "3"))
     t_prev = time.perf_counter()
     for _ in radar.run_stream(
         frame_gen(), depth=depth, buckets=buckets, stats=stream_stats
