@@ -316,7 +316,9 @@ def main() -> int:
 
         from rm_radar_tpu.train.train_step import ema_update
 
-        ema_params = jax.tree_util.tree_map(lambda x: x, state.params)
+        # Real buffer copies: the train step donates its input state, so
+        # aliasing state.params here would leave EMA holding deleted arrays.
+        ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
         ema_step = jax.jit(
             functools.partial(ema_update, decay=args.ema)
         )
