@@ -91,10 +91,9 @@ class Detector:
         With an s2d-stem model and ``use_letterbox_s2d``, the blob is emitted
         directly in s2d layout by the 2D channel-encoded letterbox
         (ops/preprocess.letterbox_s2d) — the [H, W, 3] blob and its reshape/
-        transpose chain never exist. Off by default pending an end-to-end A/B
-        on hardware (standalone microbenches are transfer-dominated on the
-        tunneled dev chip; a parity-split [H, W, 3] variant had measured
-        neutral earlier).
+        transpose chain never exist. On by default (interleaved end-to-end
+        A/B measured it ahead; see PERF.md); set RM_RADAR_LETTERBOX_S2D=0
+        to opt out.
         """
         cfg = self.config
         if self.use_letterbox_s2d and getattr(

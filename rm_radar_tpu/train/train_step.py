@@ -46,8 +46,14 @@ def train_step(
     targets: DetectionTargets,
     model: YoloV8,
     tx: optax.GradientTransformation,
+    assigner: str = "center",
 ) -> Tuple[TrainState, dict]:
-    """One SGD step: forward (train-mode BN), loss, grad, update."""
+    """One SGD step: forward (train-mode BN), loss, grad, update.
+
+    ``assigner`` selects the anchor-assignment scheme in the loss
+    ("center" or "tal", see loss.detection_loss); it is a static string
+    baked into the jitted program.
+    """
 
     def loss_fn(params):
         raw, mutated = model.apply(
@@ -57,7 +63,9 @@ def train_step(
             mutable=["batch_stats"],
             method=YoloV8.raw,
         )
-        loss, metrics = detection_loss(raw, targets, model.cfg)
+        loss, metrics = detection_loss(
+            raw, targets, model.cfg, assigner=assigner
+        )
         return loss, (metrics, mutated["batch_stats"])
 
     (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -80,13 +88,18 @@ def ema_update(ema_params: Any, params: Any, decay: float = 0.999) -> Any:
     )
 
 
-def make_sharded_train_step(model: YoloV8, tx: optax.GradientTransformation, mesh: Mesh):
+def make_sharded_train_step(
+    model: YoloV8,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    assigner: str = "center",
+):
     """jit the train step over a mesh: batch sharded on DATA_AXIS, state
     replicated. XLA inserts the gradient all-reduce over ICI."""
     repl = NamedSharding(mesh, P())
     batch_first = NamedSharding(mesh, P(DATA_AXIS))
 
-    step = functools.partial(train_step, model=model, tx=tx)
+    step = functools.partial(train_step, model=model, tx=tx, assigner=assigner)
     # Sharding prefixes: replicated state, batch-sharded images/targets.
     return jax.jit(
         step,

@@ -209,7 +209,15 @@ def main() -> int:
     ap.add_argument("--ema", type=float, default=0.0,
                     help="parameter-EMA decay (e.g. 0.999): the saved "
                     "checkpoint then holds the EMA weights, as Ultralytics "
-                    "evaluates/exports its EMA model. 0 = raw weights.")
+                    "evaluates/exports its EMA model. 0 = raw weights. "
+                    "With --ckpt-dir the EMA tree is checkpointed alongside "
+                    "the TrainState, so a resumed run keeps the accumulated "
+                    "average (checkpoints written with a different --ema "
+                    "on/off setting are structurally incompatible).")
+    ap.add_argument("--assigner", choices=["center", "tal"], default="center",
+                    help="anchor assignment in the loss: 'center' (closest-"
+                    "center-inside-box) or 'tal' (Ultralytics task-aligned "
+                    "assignment, train/loss.py)")
     args = ap.parse_args()
 
     import jax
@@ -279,21 +287,33 @@ def main() -> int:
 
     mgr = None
     start_step = 1
+    restored_ema = None
     if args.ckpt_dir:
         from rm_radar_tpu.train import checkpoint as ckpt
 
         mgr = ckpt.make_manager(args.ckpt_dir)
-        restored = ckpt.restore_latest(mgr, state)
+        # Checkpoint pytree includes the EMA params when EMA is on, so a
+        # resumed run keeps the accumulated average instead of re-seeding
+        # it from the restored raw params.
+        template = {"state": state}
+        if args.ema > 0.0:
+            template["ema"] = state.params
+        restored = ckpt.restore_latest(mgr, template)
         if restored is not None:
-            state = restored
-            start_step = int(state.step) + 1
+            state = restored["state"]
+            restored_ema = restored.get("ema")
+            # A checkpoint saved at loop index i holds state.step == i+1
+            # (the loop's pre-step invariant is state.step == i), so the
+            # first un-executed index IS int(state.step) — no +1.
+            start_step = int(state.step)
             print(f"resumed at step {start_step}", file=sys.stderr, flush=True)
 
     steps = []
     for m in models:
         steps.append(
             jax.jit(
-                (lambda mm: lambda s, b, t: train_step(s, b, t, model=mm, tx=tx))(m),
+                (lambda mm: lambda s, b, t: train_step(
+                    s, b, t, model=mm, tx=tx, assigner=args.assigner))(m),
                 donate_argnums=(0,),
             )
         )
@@ -318,7 +338,12 @@ def main() -> int:
 
         # Real buffer copies: the train step donates its input state, so
         # aliasing state.params here would leave EMA holding deleted arrays.
-        ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
+        # A restored EMA tree is already distinct buffers (fresh from orbax)
+        # but copy anyway for uniform donation-safety.
+        ema_params = jax.tree_util.tree_map(
+            jnp.copy,
+            restored_ema if restored_ema is not None else state.params,
+        )
         ema_step = jax.jit(
             functools.partial(ema_update, decay=args.ema)
         )
@@ -333,7 +358,10 @@ def main() -> int:
         if mgr is not None and i % args.ckpt_every == 0:
             from rm_radar_tpu.train import checkpoint as ckpt
 
-            ckpt.save(mgr, i, state)  # async; training continues
+            tree = {"state": state}
+            if ema_params is not None:
+                tree["ema"] = ema_params
+            ckpt.save(mgr, i, tree)  # async; training continues
         if i % 400 == 0 or i == args.steps - 1:
             m = jax.device_get(metrics)
             print(
