@@ -52,7 +52,7 @@ def log(*args):
 
 def bench_batch8(
     radar, images, clouds, variant, max_cars, n_frames, armor_size=640,
-    weights_mode="random",
+    weights_mode="random", background=None,
 ) -> int:
     """8-camera batched throughput: frames/sec/chip (BASELINE.json metric).
 
@@ -94,9 +94,30 @@ def bench_batch8(
     carries = radar.make_batch_tracked_state(b)
     step = radar.batch_step(tracked=True)
     t0 = time.perf_counter()
+    if background is not None:
+        # Prime the background depth model (SampleRadar::updateBackgroundCloud
+        # equivalent): black frames + the empty-field cloud, timestamped
+        # before the timed sequence. Without this the background is built
+        # from the frames themselves and car pixels never become foreground.
+        import jax.numpy as jnp
+
+        bg_clds = jax.device_put(
+            np.stack(
+                [pad_points(background, radar.config.locator.max_points)] * b
+            )
+        )
+        black = jnp.zeros_like(imgs)
+        for k in range(radar.config.locator.queue_size):
+            carries, batch = step(
+                carries,
+                black,
+                bg_clds,
+                jax.device_put(np.full((b,), 0.1 + 0.1 * k, np.float32)),
+            )
+        _ = np.asarray(batch.confidence)
     carries, batch = step(carries, imgs, clds, ts_warm)
     _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
-    log(f"batch8 tracked compile+first: {time.perf_counter() - t0:.1f}s")
+    log(f"batch8 tracked compile+prime+first: {time.perf_counter() - t0:.1f}s")
 
     # Force execution of every step without serializing on it: start an
     # async host copy of one output leaf per step and consume them all at
@@ -113,6 +134,20 @@ def bench_batch8(
     dt = (time.perf_counter() - t0) / n_steps
     fps = b / dt
     log(f"batch8: {dt * 1e3:.2f} ms/step -> {fps:.1f} frames/sec/chip")
+    # Occupancy telemetry from the final step's full RobotBatch: how much of
+    # the locate/track path actually ran (detected cars that were located,
+    # and live track states) — guards against benchmarking locate/track at
+    # trivial occupancy (uncorrelated clouds would locate ~nothing).
+    full = jax.device_get(batch)
+    det = full.detected & full.valid
+    loc = det & full.located
+    trk = det & (full.track_state >= 0)
+    n_det = int(det.sum())
+    log(
+        f"occupancy: detected={n_det} located={int(loc.sum())} "
+        f"tracked={int(trk.sum())} "
+        f"located-rate={int(loc.sum()) / max(n_det, 1):.2f}"
+    )
     print(
         json.dumps(
             {
@@ -192,20 +227,29 @@ def main() -> int:
         # training distribution, so the car counts / crop sizes / bucket
         # escalation the timed loop sees are the actual workload's (the
         # reference's number also comes from real weights on real frames,
-        # README.md:38). The LiDAR clouds stay the asset ones (same shapes,
-        # real geometry).
+        # README.md:38). Clouds are generated FROM the scene geometry
+        # (points on the cars, in front of a terrain background — see
+        # train/synth.py::make_scene_cloud), so locate/search/track run at
+        # realistic occupancy, like the reference's matched image+cloud
+        # pairs (samples/main.cpp:74-99); the located-rate telemetry below
+        # verifies it.
         from rm_radar_tpu.models.weights import load_variables
-        from rm_radar_tpu.train.synth import make_scene
+        from rm_radar_tpu.train.synth import (
+            make_background_cloud,
+            make_scene,
+            make_scene_cloud,
+        )
 
         car_variables = load_variables(car_w)
         armor_variables = load_variables(armor_w)
         rng = np.random.default_rng(7)
-        images = [
-            make_scene(
-                rng, 2048, 2592, max_cars=6, car_size=(180, 660)
-            ).image
+        scenes = [
+            make_scene(rng, 2048, 2592, max_cars=6, car_size=(180, 660))
             for _ in range(10)
         ]
+        images = [s.image for s in scenes]
+        clouds = [make_scene_cloud(rng, s) for s in scenes]
+        background = make_background_cloud(rng, 2048, 2592)
     log(f"weights: {weights_mode}")
 
     config = RadarConfig(
@@ -228,7 +272,7 @@ def main() -> int:
     if os.environ.get("BENCH_MODE") == "batch8":
         return bench_batch8(
             radar, images, clouds, variant, max_cars, n_frames, armor_size,
-            weights_mode,
+            weights_mode, background=background,
         )
 
     buckets_env = os.environ.get("BENCH_BUCKETS", "4")
@@ -303,13 +347,19 @@ def main() -> int:
     # trades result lag for smoothness, and only the bench prefers
     # throughput unconditionally.
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    n_det = n_loc = n_trk = 0
     t_prev = time.perf_counter()
-    for _ in radar.run_stream(
+    for robots in radar.run_stream(
         frame_gen(), depth=depth, buckets=buckets, stats=stream_stats
     ):
         now = time.perf_counter()
         times.append(now - t_prev)
         t_prev = now
+        for r in robots:
+            if r.is_detected:
+                n_det += 1
+                n_loc += bool(r.is_located)
+                n_trk += bool(r.is_tracked)
 
     times_ms = np.asarray(times[1:]) * 1e3  # drop pipeline fill
     p50 = float(np.percentile(times_ms, 50))
@@ -320,6 +370,10 @@ def main() -> int:
         f"(variant={variant}, max_cars={max_cars})"
     )
     log(f"stream stats: {stream_stats}")
+    log(
+        f"occupancy: detected={n_det} located={n_loc} tracked={n_trk} "
+        f"located-rate={n_loc / max(n_det, 1):.2f}"
+    )
 
     bucket_desc = (
         f"armor buckets {'/'.join(map(str, buckets))}->{max_cars}"

@@ -152,6 +152,16 @@ class LocatorConfig:
     # loops make it ~20x slower — measurements in ops/pallas_kernels.py and
     # PERF.md).
     use_pallas_compaction: bool = False
+    # Duplicate-removal lowering inside the point-driven candidate
+    # compaction (locator._compact_from_candidates): "scatter" (owner-table
+    # scatter-min, sort-free) or "sort" (argsort the ~49K candidates — the
+    # round-2 lowering, ~1.4 ms/frame of the cluster stage in the round-3
+    # ablation). Exactly equivalent (tested). Env override for A/B.
+    candidate_compaction: str = dataclasses.field(
+        default_factory=lambda: __import__("os").environ.get(
+            "RM_RADAR_COMPACTION", "sort"
+        )
+    )
 
     @property
     def zoomed_width(self) -> int:

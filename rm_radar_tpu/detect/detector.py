@@ -77,6 +77,20 @@ class Detector:
         self.use_letterbox_s2d = (
             os.environ.get("RM_RADAR_LETTERBOX_S2D", "1") == "1"
         )
+        # bf16 operands for the full-frame letterbox resample matmuls (f32
+        # accumulation; same error bound as the crop path's matmul_dtype —
+        # ~one uint8 level). NOTE: measured a non-lever — TPU matmuls
+        # already run single-pass bf16 at default precision, so this only
+        # halves operand staging traffic; the round-3 stage ablation shows
+        # car letterbox+model+postprocess at 1.70 ms/frame ≈ the conv floor
+        # (PERF.md round-3 table). Off by default; RM_RADAR_LETTERBOX_BF16=1
+        # to experiment.
+        self.letterbox_mm_dtype = (
+            dtype
+            if dtype == jnp.bfloat16
+            and os.environ.get("RM_RADAR_LETTERBOX_BF16", "0") == "1"
+            else None
+        )
         self._jitted = {}
 
     def raw_forward(self, blobs: Array) -> Array:
@@ -100,7 +114,10 @@ class Detector:
             getattr(self.model, "cfg", None), "s2d_stem", False
         ):
             blob, pparam = letterbox_s2d(
-                image, cfg.input_height, cfg.input_width
+                image,
+                cfg.input_height,
+                cfg.input_width,
+                matmul_dtype=self.letterbox_mm_dtype,
             )
             raw = self.model.apply(self.variables, blob[None], pre_s2d=True)[0]
         else:

@@ -217,7 +217,11 @@ def _connected_components(
 
 
 def _compact_from_candidates(
-    diff: Array, pix_queue: Array, depth_queue: Array, n_out: int
+    diff: Array,
+    pix_queue: Array,
+    depth_queue: Array,
+    n_out: int,
+    method: str = "sort",
 ) -> Tuple[Array, Array]:
     """First ``n_out`` nonzero diff pixels in scan order, recovered from the
     queued point projections instead of scanning the image.
@@ -226,10 +230,22 @@ def _compact_from_candidates(
     cloud at that pixel (update() copies queue values through), and that max
     is attained by an actual point of that cloud — so gathering diff at the
     ~Q*P candidate pixels and keeping exact matches recovers precisely
-    {(pixel, diff[pixel]) : diff[pixel] != 0}. Sorting those ~49K candidates
-    replaces the 1.3M-pixel top_k (the previous 2.6 ms dominant non-conv op;
-    equivalence is tested against the dense lowering). Returns
-    (flat_idx [n_out] int32 with -1 padding, value [n_out] f32).
+    {(pixel, diff[pixel]) : diff[pixel] != 0}. This replaced the 1.3M-pixel
+    top_k (the previous 2.6 ms dominant non-conv op); equivalence is tested
+    against the dense lowering. Returns (flat_idx [n_out] int32 with -1
+    padding, value [n_out] f32).
+
+    ``method`` picks the duplicate-pixel removal lowering (duplicates arise
+    when several queued clouds/points carry the winning value; all carry the
+    SAME depth, so which one survives is value-irrelevant — both lowerings
+    keep the lowest candidate index, making them exactly equal):
+
+    * "sort": argsort the ~49K candidate keys, keep first of each equal run
+      (the round-2 lowering; full sort dominates the cluster stage at
+      ~1.4 ms/frame in the round-3 stage ablation).
+    * "scatter": scatter-min each candidate's index into a [H*W+1] owner
+      table and keep candidates that own their pixel — no sort; the only
+      remaining O(M log) op is the final top_k.
     """
     hw = diff.size
     flat = diff.reshape(-1)
@@ -237,24 +253,32 @@ def _compact_from_candidates(
     depth = depth_queue.reshape(-1)
     safe = jnp.minimum(pix, hw - 1)
     is_fg = (pix < hw) & (depth != 0.0) & (flat[safe] == depth)
-    # Scan order + duplicate-pixel removal (several clouds/points can carry
-    # the winning value): sort by pixel, keep first of each equal run.
     key = jnp.where(is_fg, pix, hw)
-    order = jnp.argsort(key)
-    skey = key[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
-    )
-    keep = first & (skey < hw)
-    key2 = jnp.where(keep, skey, hw)
+    m = key.shape[0]
     # Configs may ask for more foreground slots than there are candidates
     # (max_foreground > queue_size * max_points): top_k caps at the
     # candidate count and the output pads with invalid slots.
-    k = min(n_out, key2.shape[0])
-    neg, pos = jax.lax.top_k(-key2, k)
+    k = min(n_out, m)
+    if method == "scatter":
+        j = jnp.arange(m, dtype=jnp.int32)
+        owner = jnp.full((hw + 1,), m, jnp.int32).at[key].min(j)
+        uniq = owner[key] == j
+        key2 = jnp.where(uniq & is_fg, key, hw)
+        neg, pos = jax.lax.top_k(-key2, k)
+        vals = depth[pos]
+    else:
+        # Scan order + dedup by stable sort: first of each equal key run.
+        order = jnp.argsort(key)
+        skey = key[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        )
+        keep = first & (skey < hw)
+        key2 = jnp.where(keep, skey, hw)
+        neg, pos = jax.lax.top_k(-key2, k)
+        vals = depth[order][pos]
     idx = -neg
     valid = idx < hw
-    vals = depth[order][pos]
     pad = n_out - k
     idx = jnp.pad(jnp.where(valid, idx, -1).astype(jnp.int32), (0, pad),
                   constant_values=-1)
@@ -290,7 +314,9 @@ def cluster(
     from ..ops.pallas_kernels import foreground_compact
 
     if candidates is not None:
-        idx, d = _compact_from_candidates(diff, *candidates, n_out=n)
+        idx, d = _compact_from_candidates(
+            diff, *candidates, n_out=n, method=config.candidate_compaction
+        )
     else:
         idx, d = foreground_compact(
             diff, n, use_pallas=config.use_pallas_compaction

@@ -71,6 +71,38 @@ def stem_kernel_to_s2d(kernel: np.ndarray) -> np.ndarray:
     return w2
 
 
+def stem_kernel_from_s2d(kernel: np.ndarray):
+    """Project a k2/s1 space-to-depth stem kernel [2, 2, 4C, O] back to the
+    standard k3/s2 layout [3, 3, C, O].
+
+    Exact inverse of :func:`stem_kernel_to_s2d` on its image. A kernel
+    *trained natively* in s2d layout has 48 taps where k3/s2 has 27: the
+    out-of-support taps (receptive-field positions a k3/s2 conv cannot see)
+    are dropped. Returns (kernel, residual_fraction) where residual_fraction
+    is the squared-norm share of the dropped taps (0.0 for kernels produced
+    by the forward transform)."""
+    w2 = np.asarray(kernel)
+    assert w2.shape[:2] == (2, 2), w2.shape
+    c, o = w2.shape[2] // 4, w2.shape[3]
+    k = np.zeros((3, 3, c, o), w2.dtype)
+    used = np.zeros(w2.shape, bool)
+    for a in range(2):
+        for b in range(2):
+            for p in range(2):
+                for q in range(2):
+                    dy = 2 * (a - 1) + p + 1
+                    dx = 2 * (b - 1) + q + 1
+                    if 0 <= dy < 3 and 0 <= dx < 3:
+                        sl = slice((p * 2 + q) * c, (p * 2 + q + 1) * c)
+                        k[dy, dx] = w2[a, b, sl]
+                        used[a, b, sl] = True
+    total = float(np.sum(w2.astype(np.float64) ** 2))
+    resid = float(np.sum(w2[~used].astype(np.float64) ** 2)) / max(
+        total, 1e-12
+    )
+    return k, resid
+
+
 def maybe_adapt_stem(variables: Any, wants_s2d: bool) -> Any:
     """Adapt a checkpoint's stem kernel to/from the space-to-depth layout.
 

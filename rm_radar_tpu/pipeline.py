@@ -525,6 +525,14 @@ class Radar:
         pending = collections.deque()
         for frame in frames:
             image, points = self._prepare_inputs(frame)
+            # Commit the frame to the device NOW and keep that handle: the
+            # jitted step would transfer a host-numpy image anyway, but the
+            # handle it creates is internal — a later *repair* of this frame
+            # would re-upload all ~16 MB. With the committed handle in
+            # ``pending``, a repair re-reads device memory (the reference
+            # likewise reuses its pinned/device buffers, detector.cpp:
+            # 132-148). No-op for already-device-resident inputs.
+            image = jax.device_put(image)
             bucket = bucket_list[cur]
             step = self._get_jitted(
                 ("frame", tuple(image.shape), bucket),

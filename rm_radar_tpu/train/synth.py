@@ -57,6 +57,10 @@ class Scene(NamedTuple):
     armor_xywh: np.ndarray  # [M, 4]
     armor_label: np.ndarray  # [M] int32
     armor_car: np.ndarray  # [M] int32 index into car_xywh
+    # Fraction of each armor plate still visible after occlusion by
+    # later-drawn cars (1.0 in easy scenes). Hard-scene evals use it to
+    # report label accuracy on visible plates separately.
+    armor_visible: np.ndarray = np.zeros(0, np.float32)  # [M]
 
 
 def _background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
@@ -141,6 +145,63 @@ def _add_distractors(img: np.ndarray, rng: np.random.Generator) -> None:
         img[y : y + dh, x : x + dw] = color
 
 
+def _overlap_frac(a, b) -> float:
+    """Intersection area over the smaller box's area."""
+    ax, ay, aw, ah = a
+    bx, by, bw, bh = b
+    iw = max(min(ax + aw, bx + bw) - max(ax, bx), 0)
+    ih = max(min(ay + ah, by + bh) - max(ay, by), 0)
+    return iw * ih / max(min(aw * ah, bw * bh), 1)
+
+
+def _draw_distractor_car(rng, img, width, height, car_size) -> None:
+    """A car body WITHOUT an armor plate: tempts the car detector (negative
+    for precision) and the armor stage (a crop with no plate)."""
+    cw = int(rng.integers(car_size[0], car_size[1]))
+    ch = int(cw * rng.uniform(0.6, 0.95))
+    if cw >= width - 2 or ch >= height - 2:
+        return
+    x = int(rng.integers(1, width - cw - 1))
+    y = int(rng.integers(1, height - ch - 1))
+    body = int(rng.integers(30, 75))
+    img[y : y + ch, x : x + cw] = body
+    wh = max(ch // 6, 2)
+    img[y + ch - wh : y + ch, x : x + cw] = max(body - 20, 8)
+    img[y : y + max(ch // 10, 1), x : x + cw] = min(body + 25, 255)
+
+
+def _motion_blur(img, box, k: int) -> None:
+    """Horizontal box blur of width k over the box region (in place)."""
+    x, y, w, h = (int(v) for v in box)
+    x0, y0 = max(x - k, 0), max(y, 0)
+    x1, y1 = min(x + w + k, img.shape[1]), min(y + h, img.shape[0])
+    if x1 - x0 < 2 * k + 2 or y1 <= y0:
+        return
+    region = img[y0:y1, x0:x1].astype(np.float32)
+    c = np.cumsum(
+        np.pad(region, ((0, 0), (1, 0), (0, 0))), axis=1
+    )
+    out = (c[:, k:] - c[:, :-k]) / k
+    img[y0:y1, x0 : x0 + out.shape[1]] = np.clip(out, 0, 255).astype(
+        np.uint8
+    )
+
+
+def _apply_lighting(img, rng) -> None:
+    """Global exposure extreme + a few local shadow/glare patches."""
+    gain = rng.uniform(0.45, 1.7)
+    offs = rng.uniform(-25, 25)
+    out = img.astype(np.float32) * gain + offs
+    h, w = img.shape[:2]
+    for _ in range(rng.integers(1, 4)):
+        pw = int(rng.integers(w // 8, w // 2))
+        ph = int(rng.integers(h // 8, h // 2))
+        px = int(rng.integers(0, w - pw))
+        py = int(rng.integers(0, h - ph))
+        out[py : py + ph, px : px + pw] *= rng.uniform(0.5, 1.5)
+    img[:] = np.clip(out, 0, 255).astype(np.uint8)
+
+
 def make_scene(
     rng: np.random.Generator,
     height: int = 640,
@@ -148,10 +209,22 @@ def make_scene(
     max_cars: int = 6,
     car_size: Tuple[int, int] = (40, 170),
     n_cars: Optional[int] = None,
+    hard: bool = False,
 ) -> Scene:
-    """One full-field scene with ``n_cars`` (default random 0..max_cars)."""
+    """One full-field scene with ``n_cars`` (default random 0..max_cars).
+
+    ``hard=True`` adds the difficulty the easy distribution lacks (the
+    saturated-eval fix): partial car-car occlusion (later-drawn cars overlap
+    earlier ones up to 45% and may cover their plates — per-armor visibility
+    is reported in ``armor_visible``), frame-edge truncation, motion blur,
+    global/local lighting extremes, and armor-less distractor cars that
+    tempt both cascade stages.
+    """
     img = _background(rng, height, width)
     _add_distractors(img, rng)
+    if hard:
+        for _ in range(rng.integers(1, 3)):
+            _draw_distractor_car(rng, img, width, height, car_size)
     if n_cars is None:
         n_cars = int(rng.integers(0, max_cars + 1))
     # Labels are unique within a scene: a RoboMaster match fields one robot
@@ -160,35 +233,75 @@ def make_scene(
     scene_labels = rng.permutation(12)[: max(n_cars, 0)]
     cars, armors, labels, owners = [], [], [], []
     occupied: list = []
+    max_overlap = 0.45 if hard else 0.0
     for i in range(n_cars):
         for _ in range(30):  # rejection-sample a placement
             cw = int(rng.integers(car_size[0], car_size[1]))
             ch = int(cw * rng.uniform(0.6, 0.95))
             if cw >= width - 2 or ch >= height - 2:
                 continue
-            x = int(rng.integers(1, width - cw - 1))
-            y = int(rng.integers(1, height - ch - 1))
+            if hard and rng.random() < 0.25:
+                # Edge truncation: center can sit outside the frame; keep
+                # at least ~35% of the car visible.
+                x = int(rng.integers(-cw // 2, width - cw // 2))
+                y = int(rng.integers(-ch // 2, height - ch // 2))
+            else:
+                x = int(rng.integers(1, width - cw - 1))
+                y = int(rng.integers(1, height - ch - 1))
+            vis_x0, vis_y0 = max(x, 0), max(y, 0)
+            vis_x1 = min(x + cw, width)
+            vis_y1 = min(y + ch, height)
+            if (vis_x1 - vis_x0) * (vis_y1 - vis_y0) < 0.35 * cw * ch:
+                continue
             ok = all(
-                not (x < ox + ow and ox < x + cw and y < oy + oh and oy < y + ch)
-                for ox, oy, ow, oh in occupied
+                _overlap_frac((x, y, cw, ch), o) <= max_overlap
+                for o in occupied
             )
             if ok:
                 break
         else:
             continue
         label = int(scene_labels[i])
-        armor = _draw_car(img, rng, (x, y, cw, ch), label)
+        if x < 0 or y < 0 or x + cw > width or y + ch > height:
+            # Truncated car: render on its own canvas, paste the visible
+            # part (negative numpy slices would wrap around).
+            patch = np.zeros((ch, cw, 3), np.uint8)
+            pa = _draw_car(patch, rng, (0, 0, cw, ch), label)
+            img[vis_y0:vis_y1, vis_x0:vis_x1] = patch[
+                vis_y0 - y : vis_y1 - y, vis_x0 - x : vis_x1 - x
+            ]
+            armor = (pa[0] + x, pa[1] + y, pa[2], pa[3])
+        else:
+            armor = _draw_car(img, rng, (x, y, cw, ch), label)
+        if hard and rng.random() < 0.3:
+            _motion_blur(
+                img, (vis_x0, vis_y0, vis_x1 - vis_x0, vis_y1 - vis_y0),
+                int(rng.integers(4, 12)),
+            )
         occupied.append((x, y, cw, ch))
-        cars.append((x, y, cw, ch))
+        # Ground truth is the VISIBLE (clipped) car box.
+        cars.append(
+            (vis_x0, vis_y0, vis_x1 - vis_x0, vis_y1 - vis_y0)
+        )
         armors.append(armor)
         labels.append(label)
         owners.append(len(cars) - 1)
+    # Per-armor visibility: share of the plate not overdrawn by LATER cars.
+    visible = np.ones(len(armors), np.float32)
+    for j, (ax, ay, aw, ah) in enumerate(armors):
+        for lx, ly, lw, lh in occupied[j + 1 :]:
+            iw = max(min(ax + aw, lx + lw) - max(ax, lx), 0)
+            ih = max(min(ay + ah, ly + lh) - max(ay, ly), 0)
+            visible[j] *= 1.0 - iw * ih / max(aw * ah, 1)
+    if hard:
+        _apply_lighting(img, rng)
     return Scene(
         image=img,
         car_xywh=np.asarray(cars, np.float32).reshape(-1, 4),
         armor_xywh=np.asarray(armors, np.float32).reshape(-1, 4),
         armor_label=np.asarray(labels, np.int32).reshape(-1),
         armor_car=np.asarray(owners, np.int32).reshape(-1),
+        armor_visible=visible,
     )
 
 
@@ -235,6 +348,130 @@ def make_crop_scene(
         armor_label=np.asarray([label], np.int32),
         armor_car=np.zeros((1,), np.int32),
     )
+
+
+# ----------------------------------------------------------- LiDAR clouds
+#
+# Synthetic clouds *correlated with the scene geometry*, so locate/search/
+# track run at realistic occupancy (the reference's sample app feeds images
+# and clouds of the same physical scene, samples/main.cpp:74-99). The
+# synthetic LiDAR has a fixed scan lattice (quasi-static scan directions,
+# expressed as zoomed-image pixel centers): the background cloud covers the
+# whole lattice, frame clouds sample it — so a frame's car-surface returns
+# land on pixels whose background depth is known, which is exactly the
+# condition Locator::update's diff needs (locate.cpp:200-219).
+
+_SCAN_STRIDE = 9  # zoomed px between scan directions; full lattice of a
+# 1296x1024 zoomed image = 144x113 = 16272 points <= the locator's 16384
+# point capacity, so the background prime covers every lattice pixel.
+
+
+def _terrain_depth_mm(u, v, zw: int, zh: int):
+    """Deterministic smooth field depth (mm) per zoomed pixel: 12-22 m."""
+    return 12000.0 + 4000.0 * (u / zw) + 6000.0 * (v / zh)
+
+
+def _scan_lattice(zh: int, zw: int, stride: int = _SCAN_STRIDE):
+    """Fixed scan directions as zoomed pixel centers (u, v) float64."""
+    us = np.arange(stride // 2, zw, stride, dtype=np.float64) + 0.5
+    vs = np.arange(stride // 2, zh, stride, dtype=np.float64) + 0.5
+    uu, vv = np.meshgrid(us, vs)
+    return uu.ravel(), vv.ravel()
+
+
+def _backproject_zoomed(u, v, d, calibration, zoom_factor: float):
+    """Exact inverse (f64) of geometry.lidar_to_camera_uvd: zoomed pixel +
+    camera depth (mm) -> LiDAR-frame mm. (The *true* inverse — not the
+    reference's quirky cameraToLidar — so generated points project back onto
+    exactly the requested pixels.)"""
+    K = np.asarray(calibration.intrinsic, np.float64)
+    l2c = np.asarray(calibration.lidar_to_camera, np.float64)
+    proj = np.stack([u * d / zoom_factor, v * d / zoom_factor, d], axis=-1)
+    cam = proj @ np.linalg.inv(K).T
+    pts = (cam - l2c[:3, 3]) @ np.linalg.inv(l2c[:3, :3]).T
+    return pts.astype(np.float32)
+
+
+def make_background_cloud(
+    rng: np.random.Generator,
+    height: int,
+    width: int,
+    calibration=None,
+    zoom_factor: float = 0.5,
+    depth_noise: float = 40.0,
+    max_points: int = 16384,
+) -> np.ndarray:
+    """Empty-field background cloud over the full scan lattice (the
+    analogue of the reference's background.pcd, samples/main.cpp:85).
+    Subsampled to ``max_points`` when the lattice slightly exceeds the
+    locator's cloud capacity (2592x2048 at stride 9: 16416 points)."""
+    if calibration is None:
+        from ..configs import Calibration
+
+        calibration = Calibration()
+    zw, zh = int(width * zoom_factor), int(height * zoom_factor)
+    u, v = _scan_lattice(zh, zw)
+    if u.size > max_points:
+        sel = rng.choice(u.size, size=max_points, replace=False)
+        u, v = u[sel], v[sel]
+    d = _terrain_depth_mm(u, v, zw, zh) + rng.normal(0.0, depth_noise, u.shape)
+    return _backproject_zoomed(u, v, d, calibration, zoom_factor)
+
+
+def make_scene_cloud(
+    rng: np.random.Generator,
+    scene: Scene,
+    calibration=None,
+    zoom_factor: float = 0.5,
+    n_terrain: int = 9000,
+    car_points: int = 120,
+    depth_drop: Tuple[float, float] = (1000.0, 2800.0),
+    depth_noise: float = 40.0,
+) -> np.ndarray:
+    """One frame's cloud for ``scene``: terrain returns off the scan lattice
+    (excluding car footprints — the cars occlude the floor) plus car-surface
+    returns 1-2.8 m in front of the terrain at the car's pixels. The depth
+    drop sits inside the locator's [min_depth_diff, max_depth_diff] window
+    (500..4000 mm, locator.h:59-65), so car pixels whose background is known
+    become foreground; lattice spacing (~160-340 mm at field depths) sits
+    inside the 400 mm cluster tolerance, so each car forms one cluster."""
+    if calibration is None:
+        from ..configs import Calibration
+
+        calibration = Calibration()
+    h, w = scene.image.shape[:2]
+    zw, zh = int(w * zoom_factor), int(h * zoom_factor)
+    u, v = _scan_lattice(zh, zw)
+    boxes = scene.car_xywh * zoom_factor
+    inside_any = np.zeros(u.shape, bool)
+    per_car_inside = []
+    for x, y, bw, bh in boxes:
+        inside = (u >= x) & (u < x + bw) & (v >= y) & (v < y + bh)
+        per_car_inside.append(inside)
+        inside_any |= inside
+    terrain_idx = np.flatnonzero(~inside_any)
+    take = min(n_terrain, terrain_idx.size)
+    sel = rng.choice(terrain_idx, size=take, replace=False)
+    tu, tv = u[sel], v[sel]
+    td = _terrain_depth_mm(tu, tv, zw, zh) + rng.normal(
+        0.0, depth_noise, tu.shape
+    )
+    parts = [_backproject_zoomed(tu, tv, td, calibration, zoom_factor)]
+    for inside in per_car_inside:
+        idx = np.flatnonzero(inside)
+        if idx.size == 0:
+            continue
+        if idx.size > car_points:
+            idx = rng.choice(idx, size=car_points, replace=False)
+        cu, cv = u[idx], v[idx]
+        drop = rng.uniform(*depth_drop)
+        cd = (
+            _terrain_depth_mm(cu, cv, zw, zh)
+            - drop
+            + rng.normal(0.0, 30.0, cu.shape)
+        )
+        parts.append(_backproject_zoomed(cu, cv, cd, calibration, zoom_factor))
+    return np.concatenate(parts, axis=0)
 
 
 def scene_to_targets(

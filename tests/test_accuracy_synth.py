@@ -50,12 +50,78 @@ def cascade():
 
 @pytest.mark.slow
 def test_cascade_accuracy_on_held_out_scenes(cascade):
+    """Easy tier: gates at measured-minus-noise. The 48/128-scene sweeps
+    measure P/R/label 1.0/0.995-1.0 (PERF.md accuracy table); 0.97 on
+    ~36 cars allows a single miss and catches a 2-point regression (the
+    old 0.75-0.85 gates would have shipped a 20-point one green)."""
     from eval_synth import evaluate, make_eval_scenes
 
-    scenes = make_eval_scenes(4, seed=4242)
+    scenes = make_eval_scenes(12, seed=4242)
     m = evaluate(cascade, scenes)
-    assert m["n_gt_cars"] >= 8, m
-    assert m["car_recall"] >= 0.85, m
-    assert m["car_precision"] >= 0.85, m
-    assert m["armor_detected_rate"] >= 0.8, m
-    assert m["label_accuracy"] >= 0.75, m
+    assert m["n_gt_cars"] >= 24, m
+    assert m["car_recall"] >= 0.97, m
+    assert m["car_precision"] >= 0.97, m
+    assert m["armor_detected_rate"] >= 0.97, m
+    assert m["label_accuracy"] >= 0.97, m
+    assert m["map_50"] >= 0.95, m
+
+
+@pytest.mark.slow
+def test_cascade_hard_tier_has_headroom(cascade):
+    """Hard tier (occlusion / truncation / blur / lighting / distractor
+    cars): the metrics must sit strictly inside (0, 1) — a saturated eval
+    cannot detect regressions — with floors that catch real degradation.
+    Measured with the checked-in yolov8n weights: mAP@[.5:.95] ~0.63,
+    car recall ~0.72, precision ~0.41 (distractor cars are detected as
+    cars — a genuine failure mode the easy tier hides), label ~0.88."""
+    from eval_synth import evaluate, make_eval_scenes
+
+    scenes = make_eval_scenes(12, seed=1000, hard=True)
+    m = evaluate(cascade, scenes)
+    assert m["n_gt_cars"] >= 24, m
+    # Floors: regression alarms.
+    assert m["map_50_95"] >= 0.40, m
+    assert m["car_recall"] >= 0.55, m
+    assert m["label_accuracy"] >= 0.70, m
+    # Ceilings: saturation alarms — if the hard tier ever reads ~1.0 it
+    # has stopped being discriminative and must be hardened further.
+    assert m["map_50_95"] <= 0.98, m
+    assert m["car_precision"] <= 0.995, m
+
+
+@pytest.mark.slow
+def test_hard_metrics_move_under_ablation():
+    """The hard-tier metric must MOVE when the model is degraded (the
+    saturated easy tier does not): crushing the armor stage to a 128 px
+    input with the 640-trained weights must drop label accuracy."""
+    from eval_synth import evaluate, make_eval_scenes
+
+    from rm_radar_tpu.configs import RobotDetectorConfig
+    from rm_radar_tpu.detect.detector import RobotDetector
+    from rm_radar_tpu.models.weights import load_variables
+
+    car_v = load_variables(os.path.join(WEIGHTS_DIR, "car_synth_n.npz"))
+    armor_v = load_variables(os.path.join(WEIGHTS_DIR, "armor_synth_n.npz"))
+
+    def build(armor_size):
+        return RobotDetector(
+            RobotDetectorConfig(
+                max_cars=8,
+                armor_input_width=armor_size,
+                armor_input_height=armor_size,
+            ),
+            car_variant="n",
+            armor_variant="n",
+            car_variables=car_v,
+            armor_variables=armor_v,
+            dtype=jnp.float32,
+        )
+
+    scenes = make_eval_scenes(6, seed=2000, hard=True)
+    good = evaluate(build(640), scenes)
+    bad = evaluate(build(128), scenes)
+    assert good["n_gt_cars"] >= 10, good
+    assert (
+        bad["label_accuracy"] <= good["label_accuracy"] - 0.15
+        or bad["armor_detected_rate"] <= good["armor_detected_rate"] - 0.15
+    ), (good, bad)

@@ -164,11 +164,18 @@ def test_cluster_size_gate():
     np.testing.assert_allclose(float(location[2]), 0.018, rtol=1e-3)
 
 
+def _compaction_cfg(method):
+    import dataclasses
+
+    return dataclasses.replace(CFG, candidate_compaction=method)
+
+
 def test_candidate_compaction_matches_dense():
-    """The point-driven compaction (sorting the queued projections) must
-    reproduce the dense image-scan lowering exactly: same foreground pixels
-    in scan order, same depths, same clusters — across multi-frame sequences
-    with duplicate pixels, cross-frame repeats and capacity overflow."""
+    """Both point-driven compaction lowerings ("sort": argsort+dedup;
+    "scatter": owner-table scatter-min, sort-free) must reproduce the dense
+    image-scan lowering exactly: same foreground pixels in scan order, same
+    depths, same clusters — across multi-frame sequences with duplicate
+    pixels, cross-frame repeats and capacity overflow."""
     import jax
 
     rng = np.random.default_rng(3)
@@ -191,15 +198,21 @@ def test_candidate_compaction_matches_dense():
                 lambda s, p: loc.update(s, p, CAL, CFG)
             )(state, _cloud(pts[: CFG.max_points]))
         dense = loc.cluster(diff, CAL, CFG)
-        cand = loc.cluster(
-            diff, CAL, CFG, candidates=(state.pix_queue, state.depth_queue)
-        )
-        n_fg = int(np.asarray(dense.valid).sum())
-        assert trial == 0 or n_fg > 0
-        for a, b, name in zip(dense, cand, dense._fields):
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b), err_msg=f"{name} n_pts={n_pts}"
+        for method in ("sort", "scatter"):
+            cand = loc.cluster(
+                diff,
+                CAL,
+                _compaction_cfg(method),
+                candidates=(state.pix_queue, state.depth_queue),
             )
+            n_fg = int(np.asarray(dense.valid).sum())
+            assert trial == 0 or n_fg > 0
+            for a, b, name in zip(dense, cand, dense._fields):
+                np.testing.assert_array_equal(
+                    np.asarray(a),
+                    np.asarray(b),
+                    err_msg=f"{name} n_pts={n_pts} method={method}",
+                )
 
 
 def test_candidate_compaction_capacity_exceeds_candidates():
@@ -221,8 +234,14 @@ def test_candidate_compaction_capacity_exceeds_candidates():
             lambda s, p: loc.update(s, p, CAL, small)
         )(state, np.asarray(cloud))
     dense = loc.cluster(diff, CAL, small)
-    cand = loc.cluster(
-        diff, CAL, small, candidates=(state.pix_queue, state.depth_queue)
-    )
-    for a, b, name in zip(dense, cand, dense._fields):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    for method in ("sort", "scatter"):
+        cand = loc.cluster(
+            diff,
+            CAL,
+            dataclasses.replace(small, candidate_compaction=method),
+            candidates=(state.pix_queue, state.depth_queue),
+        )
+        for a, b, name in zip(dense, cand, dense._fields):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} {method}"
+            )

@@ -208,6 +208,59 @@ def test_run_stream_repair_matches_fixed_capacity():
 
 
 @pytest.mark.slow
+def test_run_stream_repair_uses_device_resident_frame():
+    """A repair must consume the device-committed frame handle from the
+    first dispatch, never re-upload host numpy (the reference reuses its
+    pinned/device buffers across the cascade, detector.cpp:132-148). Guards
+    the run_stream re-staging regression: pending entries used to hold the
+    raw _prepare_inputs output, so a repair of a host-numpy frame paid a
+    full H2D of the image again."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(
+        TINY,
+        detector=dataclasses.replace(
+            TINY.detector, car_conf_thresh=0.01, armor_conf_thresh=0.01
+        ),
+    )
+    radar = Radar(cfg, car_variant="n", armor_variant="n", dtype=jnp.float32)
+
+    seen = {}
+    orig_get = radar._get_jitted
+
+    def spy(key, fn, donate=True):
+        f = orig_get(key, fn, donate)
+        if key[0] != "repair":
+            return f
+
+        def wrapped(image, fg):
+            seen["image_is_device_array"] = isinstance(image, jax.Array)
+            return f(image, fg)
+
+        return wrapped
+
+    radar._get_jitted = spy
+
+    rng = np.random.default_rng(7)
+    frames = [
+        Frame(
+            image=rng.integers(0, 255, size=(96, 128, 3), dtype=np.uint8),
+            point_cloud=rng.uniform(1.0, 5.0, size=(100, 3)).astype(
+                np.float32
+            ),
+            timestamp=0.1 * t,
+        )
+        for t in range(3)
+    ]
+    stats: dict = {}
+    list(radar.run_stream(iter(frames), buckets=(2,), stats=stats))
+    assert stats["repairs"] >= 1  # the repair path actually ran
+    assert seen.get("image_is_device_array") is True
+
+
+@pytest.mark.slow
 def test_run_batch_tracked_device(radar):
     """Fully-fused multi-camera device-tracked step: one XLA program for
     B cameras' detect+locate+track; carries flow across steps."""

@@ -41,41 +41,120 @@ def iou_xywh(a, b):
     return inter / (aw * ah + bw * bh - inter + 1e-9)
 
 
+def _collect(detector, scenes):
+    """Run the cascade once per scene; return [(dets, scene)] with
+    dets = [(conf, rect, armor_detected, label)] for valid slots."""
+    import jax
+
+    out = []
+    for scene in scenes:
+        host = jax.device_get(detector.detect(scene.image))
+        dets = [
+            (
+                float(host.confidence[i]),
+                np.asarray(host.rect[i], np.float64),
+                bool(host.detected[i]),
+                int(host.label[i]),
+            )
+            for i in range(len(host.valid))
+            if host.valid[i]
+        ]
+        out.append((dets, scene))
+    return out
+
+
+def _ap_at(per_scene, iou_t: float) -> float:
+    """VOC-style average precision at one IoU threshold: detections sorted
+    globally by confidence, each greedily matched to the best unused GT of
+    its own scene."""
+    rows = []  # (conf, scene_idx, det_idx)
+    n_gt = 0
+    for s, (dets, scene) in enumerate(per_scene):
+        n_gt += len(scene.car_xywh)
+        rows.extend((conf, s, i) for i, (conf, *_r) in enumerate(dets))
+    if n_gt == 0:
+        return float("nan")
+    rows.sort(key=lambda r: -r[0])
+    used = [np.zeros(len(sc.car_xywh), bool) for _, sc in per_scene]
+    tp = np.zeros(len(rows))
+    for k, (_conf, s, i) in enumerate(rows):
+        rect = per_scene[s][0][i][1]
+        gts = per_scene[s][1].car_xywh
+        best_j, best_v = -1, iou_t
+        for j, gt in enumerate(gts):
+            if used[s][j]:
+                continue
+            v = iou_xywh(rect, gt)
+            if v >= best_v:
+                best_j, best_v = j, v
+        if best_j >= 0:
+            used[s][best_j] = True
+            tp[k] = 1.0
+    ctp = np.cumsum(tp)
+    recall = ctp / n_gt
+    precision = ctp / (np.arange(len(rows)) + 1)
+    # All-point interpolation: precision envelope from the right.
+    prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+    r_prev = 0.0
+    ap = 0.0
+    for k in range(len(rows)):
+        ap += (recall[k] - r_prev) * prec_env[k]
+        r_prev = recall[k]
+    return float(ap)
+
+
 def evaluate(detector, scenes, iou_thresh: float = 0.5) -> dict:
-    """Greedy conf-ordered matching of detections to GT cars."""
+    """Greedy conf-ordered matching of detections to GT cars (the legacy
+    single-threshold metrics), plus mAP@[.5:.95], per-size recall and
+    visibility-aware label accuracy (discriminative on hard scenes)."""
+    per_scene = _collect(detector, scenes)
     n_gt = n_det = tp = 0
     n_detected_flag = label_hits = label_total = 0
-    for scene in scenes:
-        batch = detector.detect(scene.image)
-        import jax
-
-        host = jax.device_get(batch)
-        order = np.argsort(-host.confidence)
+    vis_hits = vis_total = 0
+    size_tp = {"small": 0, "large": 0}
+    size_gt = {"small": 0, "large": 0}
+    for dets, scene in per_scene:
+        order = np.argsort([-d[0] for d in dets]) if dets else []
         used = np.zeros(len(scene.car_xywh), bool)
         n_gt += len(scene.car_xywh)
+        for gt in scene.car_xywh:
+            size_gt["small" if gt[2] < 250 else "large"] += 1
         for i in order:
-            if not host.valid[i]:
-                continue
+            conf, rect, det_flag, label = dets[i]
             n_det += 1
             best_j, best_iou = -1, iou_thresh
             for j, gt in enumerate(scene.car_xywh):
                 if used[j]:
                     continue
-                v = iou_xywh(host.rect[i], gt)
+                v = iou_xywh(rect, gt)
                 if v >= best_iou:
                     best_j, best_iou = j, v
             if best_j < 0:
                 continue
             used[best_j] = True
             tp += 1
+            gt_box = scene.car_xywh[best_j]
+            size_tp["small" if gt_box[2] < 250 else "large"] += 1
             # label accuracy on matched cars (armor stage)
-            gt_labels = scene.armor_label[scene.armor_car == best_j]
+            mask = scene.armor_car == best_j
+            gt_labels = scene.armor_label[mask]
             if len(gt_labels):
                 label_total += 1
-                if host.detected[i]:
+                vis = (
+                    float(scene.armor_visible[mask][0])
+                    if len(scene.armor_visible)
+                    else 1.0
+                )
+                hit = det_flag and int(label) == int(gt_labels[0])
+                if det_flag:
                     n_detected_flag += 1
-                    if int(host.label[i]) == int(gt_labels[0]):
-                        label_hits += 1
+                if hit:
+                    label_hits += 1
+                if vis >= 0.6:
+                    vis_total += 1
+                    vis_hits += int(hit)
+    thresholds = np.arange(0.5, 0.951, 0.05)
+    aps = [_ap_at(per_scene, float(t)) for t in thresholds]
     return {
         "n_gt_cars": n_gt,
         "n_detections": n_det,
@@ -83,6 +162,12 @@ def evaluate(detector, scenes, iou_thresh: float = 0.5) -> dict:
         "car_recall": tp / max(n_gt, 1),
         "armor_detected_rate": n_detected_flag / max(label_total, 1),
         "label_accuracy": label_hits / max(label_total, 1),
+        "label_accuracy_visible": vis_hits / max(vis_total, 1),
+        "map_50": round(aps[0], 4),
+        "map_50_95": round(float(np.mean(aps)), 4),
+        "recall_small": size_tp["small"] / max(size_gt["small"], 1),
+        "recall_large": size_tp["large"] / max(size_gt["large"], 1),
+        "n_gt_small": size_gt["small"],
     }
 
 
@@ -92,14 +177,19 @@ def make_eval_scenes(
     height=2048,
     width=2592,
     car_size=(180, 660),
+    hard: bool = False,
 ):
     from rm_radar_tpu.train.synth import make_scene
 
     rng = np.random.default_rng(seed)
     # Camera-resolution scenes; cars sized so the 640-letterbox sees the
-    # training distribution (scale 640/2592 = 0.247).
+    # training distribution (scale 640/2592 = 0.247). ``hard`` adds
+    # occlusion / truncation / blur / lighting extremes / distractor cars
+    # (train/synth.py::make_scene) — the eval tier with headroom.
     return [
-        make_scene(rng, height, width, max_cars=6, car_size=car_size)
+        make_scene(
+            rng, height, width, max_cars=6, car_size=car_size, hard=hard
+        )
         for _ in range(n)
     ]
 
@@ -118,10 +208,27 @@ def main() -> int:
         help="car pixel-size range in the 2592x2048 eval scenes; the "
         "reference's typical radar crops are 100-400 px (PERF.md lever 1)",
     )
+    ap.add_argument(
+        "--hard",
+        action="store_true",
+        help="hard scene tier: occlusion, edge truncation, motion blur, "
+        "lighting extremes, armor-less distractor cars (metrics get "
+        "headroom; see PERF.md accuracy section)",
+    )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (this image's sitecustomize pins "
+        "JAX_PLATFORMS=axon; the env var alone cannot override it)",
+    )
     args = ap.parse_args()
 
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/rm_radar_jax_cache"),
@@ -151,7 +258,9 @@ def main() -> int:
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     car_size = tuple(int(v) for v in args.car_size.split(","))
-    scenes = make_eval_scenes(args.scenes, args.seed, car_size=car_size)
+    scenes = make_eval_scenes(
+        args.scenes, args.seed, car_size=car_size, hard=args.hard
+    )
     results = {}
     for size in (int(s) for s in args.armor_sizes.split(",")):
         armor_v = armor_weights(size)
