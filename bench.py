@@ -99,21 +99,28 @@ def bench_batch8(
         # equivalent): black frames + the empty-field cloud, timestamped
         # before the timed sequence. Without this the background is built
         # from the frames themselves and car pixels never become foreground.
+        # A background bigger than the cloud capacity is fed in chunks (the
+        # background is a running max, so coverage accumulates).
         import jax.numpy as jnp
 
-        bg_clds = jax.device_put(
-            np.stack(
-                [pad_points(background, radar.config.locator.max_points)] * b
-            )
-        )
+        cap = radar.config.locator.max_points
+        chunks = [
+            background[i : i + cap] for i in range(0, len(background), cap)
+        ]
         black = jnp.zeros_like(imgs)
-        for k in range(radar.config.locator.queue_size):
-            carries, batch = step(
-                carries,
-                black,
-                bg_clds,
-                jax.device_put(np.full((b,), 0.1 + 0.1 * k, np.float32)),
-            )
+        k = 0
+        for _ in range(radar.config.locator.queue_size):
+            for chunk in chunks:
+                bg_clds = jax.device_put(
+                    np.stack([pad_points(chunk, cap)] * b)
+                )
+                carries, batch = step(
+                    carries,
+                    black,
+                    bg_clds,
+                    jax.device_put(np.full((b,), 0.1 + 0.02 * k, np.float32)),
+                )
+                k += 1
         _ = np.asarray(batch.confidence)
     carries, batch = step(carries, imgs, clds, ts_warm)
     _ = np.asarray(batch.confidence)  # force execution (block can be lazy)
@@ -143,10 +150,13 @@ def bench_batch8(
     loc = det & full.located
     trk = det & (full.track_state >= 0)
     n_det = int(det.sum())
+    n_sat = int((np.asarray(full.n_cars) >= max_cars).sum())
     log(
         f"occupancy: detected={n_det} located={int(loc.sum())} "
         f"tracked={int(trk.sum())} "
-        f"located-rate={int(loc.sum()) / max(n_det, 1):.2f}"
+        f"located-rate={int(loc.sum()) / max(n_det, 1):.2f} "
+        f"cameras-at-bucket-capacity={n_sat}/8 (possible clipping if >0 "
+        f"and the scene had more cars than the bucket)"
     )
     print(
         json.dumps(
@@ -188,6 +198,12 @@ def main() -> int:
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
     armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "320"))
+    # Locate-stage capacities fit to the declared workload (reference clouds
+    # are 10,000 points, SURVEY.md §2.6; correlated synth clouds peak ~750
+    # foreground points), each validated by an interleaved batch-8 A/B
+    # (PERF.md round 3) with located-rate telemetry guarding correctness.
+    max_fg = int(os.environ.get("BENCH_MAX_FG", "1024"))
+    max_points = int(os.environ.get("BENCH_MAX_POINTS", "10240"))
 
     log(f"devices: {jax.devices()}")
 
@@ -259,7 +275,7 @@ def main() -> int:
             armor_input_height=armor_size,
             crop_window=int(os.environ.get("BENCH_CROP_WINDOW", "768")),
         ),
-        locator=LocatorConfig(),
+        locator=LocatorConfig(max_foreground=max_fg, max_points=max_points),
     )
     radar = Radar(
         config,
@@ -270,8 +286,34 @@ def main() -> int:
     )
 
     if os.environ.get("BENCH_MODE") == "batch8":
+        # Batch mode has no bucket-escalation repair, so its armor bucket is
+        # fit to the workload's max car count (synth scenes carry <= 6 cars;
+        # the reference's dynamic batch likewise ran the actual car count,
+        # detector.cpp:208-227). Saturation telemetry below guards it:
+        # n_cars == bucket on any camera means the capacity clipped.
+        batch_cars = int(
+            os.environ.get(
+                "BENCH_BATCH_MAX_CARS",
+                "6" if weights_mode == "synth" else str(max_cars),
+            )
+        )
+        if batch_cars != max_cars:
+            import dataclasses
+
+            radar = Radar(
+                dataclasses.replace(
+                    config,
+                    detector=dataclasses.replace(
+                        config.detector, max_cars=batch_cars
+                    ),
+                ),
+                car_variant=variant,
+                armor_variant=variant,
+                car_variables=car_variables,
+                armor_variables=armor_variables,
+            )
         return bench_batch8(
-            radar, images, clouds, variant, max_cars, n_frames, armor_size,
+            radar, images, clouds, variant, batch_cars, n_frames, armor_size,
             weights_mode, background=background,
         )
 
@@ -285,7 +327,13 @@ def main() -> int:
 
     t0 = time.perf_counter()
     if background is not None:
-        radar.update_background_cloud(background, max_cars=prime_bucket)
+        # Chunked: a background bigger than the cloud capacity accumulates
+        # into the running-max model over several updates.
+        cap = radar.config.locator.max_points
+        for i in range(0, len(background), cap):
+            radar.update_background_cloud(
+                background[i : i + cap], max_cars=prime_bucket
+            )
     else:
         # No background.pcd in the snapshot: prime the background model with
         # the first cloud (the background is a running max anyway).

@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--env", required=True)
+    ap.add_argument("--env", default="",
+                    help="env-var knob to A/B (read at Radar construction)")
+    ap.add_argument("--locator-field", default="",
+                    help="LocatorConfig field to A/B instead of an env var "
+                    "(int values), e.g. max_foreground")
+    ap.add_argument("--detector-field", default="",
+                    help="RobotDetectorConfig field to A/B (int values), "
+                    "e.g. max_cars")
     ap.add_argument("--values", default="0,1")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
@@ -60,29 +67,53 @@ def main() -> int:
             repo, f"assets/models/armor_synth_{args.variant}{suffix}.npz"
         )
     )
-    def make_config():
+    import dataclasses
+
+    from rm_radar_tpu.configs import LocatorConfig
+
+    def make_config(value: str):
         # Construct per arm AFTER the env is set: env-default config fields
         # (e.g. LocatorConfig.candidate_compaction) are read at construction.
-        return RadarConfig(
+        cfg = RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,
                 armor_input_width=args.armor_size,
                 armor_input_height=args.armor_size,
             )
         )
+        if args.locator_field:
+            cfg = dataclasses.replace(
+                cfg,
+                locator=dataclasses.replace(
+                    cfg.locator, **{args.locator_field: int(value)}
+                ),
+            )
+        if args.detector_field:
+            cfg = dataclasses.replace(
+                cfg,
+                detector=dataclasses.replace(
+                    cfg.detector, **{args.detector_field: int(value)}
+                ),
+            )
+        return cfg
 
+    assert args.env or args.locator_field or args.detector_field, (
+        "need --env, --locator-field or --detector-field"
+    )
+    knob = args.env or args.locator_field or args.detector_field
     values = args.values.split(",")
     arms = {}
     for v in values:
-        os.environ[args.env] = v
+        if args.env:
+            os.environ[args.env] = v
         arms[v] = Radar(
-            make_config(),
+            make_config(v),
             car_variant=args.variant,
             armor_variant=args.variant,
             car_variables=car_v,
             armor_variables=armor_v,
         )
-    config = make_config()
+    config = make_config(values[0])
 
     b = 8
     rng = np.random.default_rng(7)
@@ -90,20 +121,23 @@ def main() -> int:
         make_scene(rng, 2048, 2592, max_cars=6, car_size=(180, 660))
         for _ in range(b)
     ]
-    cap = config.locator.max_points
     imgs = jax.device_put(np.stack([s.image for s in scenes]))
-    clds = jax.device_put(
-        np.stack([pad_points(make_scene_cloud(rng, s), cap) for s in scenes])
-    )
-    bg_clds = jax.device_put(
-        np.stack(
-            [pad_points(make_background_cloud(rng, 2048, 2592), cap)] * b
+    raw_clds = [make_scene_cloud(rng, s) for s in scenes]
+    raw_bg = make_background_cloud(rng, 2048, 2592)
+    # Stage per arm: cloud capacity (max_points) may be an A/B axis.
+    clds_of, bg_of = {}, {}
+    for v, radar in arms.items():
+        cap = radar.config.locator.max_points
+        clds_of[v] = jax.device_put(
+            np.stack([pad_points(c, cap) for c in raw_clds])
         )
-    )
+        bg_of[v] = jax.device_put(
+            np.stack([pad_points(raw_bg[:cap], cap)] * b)
+        )
     import jax.numpy as jnp
 
     black = jnp.zeros_like(imgs)
-    jax.block_until_ready([imgs, clds, bg_clds, black])
+    jax.block_until_ready([imgs, list(clds_of.values()), black])
 
     steps = {}
     carries = {}
@@ -113,16 +147,17 @@ def main() -> int:
         c = radar.make_batch_tracked_state(b)
         for k in range(config.locator.queue_size):
             c, batch = steps[v](
-                c, black, bg_clds,
+                c, black, bg_of[v],
                 jax.device_put(np.full((b,), 0.1 * (k + 1), np.float32)),
             )
         c, batch = steps[v](
-            c, imgs, clds, jax.device_put(np.full((b,), 0.5, np.float32))
+            c, imgs, clds_of[v],
+            jax.device_put(np.full((b,), 0.5, np.float32)),
         )
         _ = np.asarray(batch.confidence)
         carries[v] = c
         print(
-            f"warm {args.env}={v}: {time.time() - t0:.1f}s",
+            f"warm {knob}={v}: {time.time() - t0:.1f}s",
             file=sys.stderr, flush=True,
         )
 
@@ -139,7 +174,7 @@ def main() -> int:
             t0 = time.perf_counter()
             handles = []
             for i in range(args.steps):
-                c, batch = steps[v](c, imgs, clds, ts[i])
+                c, batch = steps[v](c, imgs, clds_of[v], ts[i])
                 batch.confidence.copy_to_host_async()
                 handles.append(batch.confidence)
             for h in handles:
@@ -149,11 +184,11 @@ def main() -> int:
             carries[v] = c
         t_base += 0.1 * args.steps
 
-    print(f"\n{args.env} A/B, ms per batch-8 step:", file=sys.stderr)
+    print(f"\n{knob} A/B, ms per batch-8 step:", file=sys.stderr)
     for v in values:
         arr = np.asarray(results[v])
         print(
-            f"  {args.env}={v}: med={np.median(arr):7.2f}  "
+            f"  {knob}={v}: med={np.median(arr):7.2f}  "
             + " ".join(f"{x:7.2f}" for x in arr),
             file=sys.stderr,
         )
