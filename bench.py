@@ -14,8 +14,15 @@ Flags (env):
                  car count, typically <= 6-8 — see SURVEY.md §2.7)
   BENCH_VARIANT  yolov8 variant for both stages (default "m", the variant
                  behind the reference's headline numbers)
-  BENCH_MODE     "stream" (default): pipelined single-camera ms/frame p50;
-                 "batch8": 8-camera batched step, reports frames/sec/chip
+  BENCH_MODE     "batch8" (default): 8-camera device-tracked batched step,
+                 reports frames/sec/chip — the reproducible headline on the
+                 tunneled dev chip (round-to-round spread 0.3%, immune to
+                 the relay's ±30% session drift; three round-2 samples and
+                 the round-3 confirm agree). "stream": pipelined
+                 single-camera ms/frame p50 — closer to the reference's
+                 per-frame latency measure, but on this tunnel it times the
+                 relay as much as the chip; same-session A/B numbers are in
+                 PERF.md.
   BENCH_ARMOR_SIZE  armor-stage network input (default 320). The reference
                  runs its armor engine at 640, but radar car crops are
                  100-400 px, so 640 mostly upsamples; 320 cuts armor FLOPs
@@ -285,7 +292,7 @@ def main() -> int:
         armor_variables=armor_variables,
     )
 
-    if os.environ.get("BENCH_MODE") == "batch8":
+    if os.environ.get("BENCH_MODE", "batch8") == "batch8":
         # Batch mode has no bucket-escalation repair, so its armor bucket is
         # fit to the workload's max car count (synth scenes carry <= 6 cars;
         # the reference's dynamic batch likewise ran the actual car count,
@@ -417,11 +424,29 @@ def main() -> int:
         f"mean={times_ms.mean():.2f}ms min={times_ms.min():.2f}ms "
         f"(variant={variant}, max_cars={max_cars})"
     )
+    flog = stream_stats.pop("frame_log", [])
     log(f"stream stats: {stream_stats}")
     log(
         f"occupancy: detected={n_det} located={n_loc} tracked={n_trk} "
         f"located-rate={n_loc / max(n_det, 1):.2f}"
     )
+    if flog:
+        # p99 decomposition: how much of the tail is the blocking result
+        # fetch (link RTT on this tunnel) and the repair block (2 extra
+        # round trips + one extra cascade) vs device pipeline time.
+        fetch = np.asarray([f[2] for f in flog])
+        rep_frames = [f for f in flog if f[1] > 0]
+        rep_ms = np.asarray([f[3] for f in rep_frames])
+        log(
+            f"p99 decomposition: fetch_ms p50={np.percentile(fetch, 50):.2f} "
+            f"p99={np.percentile(fetch, 99):.2f} max={fetch.max():.2f}; "
+            f"repair frames={len(rep_frames)}"
+            + (
+                f" repair_ms mean={rep_ms.mean():.2f} max={rep_ms.max():.2f}"
+                if len(rep_frames)
+                else ""
+            )
+        )
 
     bucket_desc = (
         f"armor buckets {'/'.join(map(str, buckets))}->{max_cars}"

@@ -463,9 +463,14 @@ class Radar:
         (frames, repairs, escalations, de-escalations, per-bucket frame
         counts) — the observability hook behind the bench's tail-latency
         diagnosis (repair frames run the cascade twice, so they land in the
-        p99, not the p50).
+        p99, not the p50). It also collects a per-frame ``frame_log`` of
+        (bucket, n_repairs, fetch_ms, repair_ms): fetch_ms is the blocking
+        device->host result wait (link RTT + any not-yet-finished device
+        work), repair_ms the full repair block including its extra round
+        trips — the decomposition behind the p99 attribution in PERF.md.
         """
         import collections
+        import time as _time
 
         max_cars = self.config.detector.max_cars
         if buckets:
@@ -486,19 +491,24 @@ class Radar:
         def consume(entry):
             nonlocal cur, quiet
             batch0, fg0, image0, ts0, b0 = entry
+            t0 = _time.perf_counter()
             host = RobotBatch(*jax.device_get(tuple(batch0)))
+            t_fetch = _time.perf_counter() - t0
             # Repair: a full bucket may have capped detections; re-run
             # detect+search at the next bucket until unsaturated or at
             # capacity. Results then match fixed-capacity exactly.
             bi = bucket_list.index(b0)
+            n_rep = 0
             if stats is not None:
                 stats["frames"] += 1
                 stats["bucket_frames"][b0] += 1
+            t0 = _time.perf_counter()
             while (
                 int(host.n_cars) >= bucket_list[bi]
                 and bi < len(bucket_list) - 1
             ):
                 bi += 1
+                n_rep += 1
                 if stats is not None:
                     stats["repairs"] += 1
                 b_next = bucket_list[bi]
@@ -509,6 +519,11 @@ class Radar:
                 )
                 batch0 = repair(image0, fg0)
                 host = RobotBatch(*jax.device_get(tuple(batch0)))
+            t_repair = _time.perf_counter() - t0 if n_rep else 0.0
+            if stats is not None:
+                stats.setdefault("frame_log", []).append(
+                    (b0, n_rep, t_fetch * 1e3, t_repair * 1e3)
+                )
             robots = self._collect_host(host, ts0)
             prev = cur
             if bi > cur:  # the repair proved the bigger bucket is needed

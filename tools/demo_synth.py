@@ -28,9 +28,20 @@ def main() -> int:
     ap.add_argument("--out", default="docs")
     ap.add_argument("--downscale", type=int, default=2,
                     help="output PNG downscale factor (repo friendliness)")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard scene tier (occlusion/truncation/blur/"
+                    "lighting/distractors — see train/synth.py)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pins axon)")
     args = ap.parse_args()
 
+    if args.cpu:
+        import os as _os
+        _os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/rm_radar_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -67,7 +78,8 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.scenes):
         scene = make_scene(
-            rng, 2048, 2592, max_cars=6, car_size=(180, 660), n_cars=6
+            rng, 2048, 2592, max_cars=6, car_size=(180, 660), n_cars=6,
+            hard=args.hard,
         )
         batch = jax.device_get(det.detect(scene.image))
         rgb = np.ascontiguousarray(scene.image[..., ::-1])
@@ -94,7 +106,7 @@ def main() -> int:
             img = img.resize(
                 (img.width // args.downscale, img.height // args.downscale)
             )
-        path = os.path.join(args.out, f"demo_synth_{i}.png")
+        path = os.path.join(args.out, f"demo_synth_{'hard_' if args.hard else ''}{i}.png")
         img.save(path)
         print(
             f"{path}: {hits} robots drawn, {len(scene.car_xywh)} ground truth",

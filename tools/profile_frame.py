@@ -60,13 +60,17 @@ def main() -> int:
             )
         )
 
+    from rm_radar_tpu.configs import LocatorConfig
+
     radar = Radar(
         RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,
                 armor_input_width=args.armor_size,
                 armor_input_height=args.armor_size,
-            )
+            ),
+            # The bench's shipped capacities (PERF.md round-3 A/Bs).
+            locator=LocatorConfig(max_foreground=1024, max_points=10240),
         ),
         car_variant=args.variant,
         armor_variant=args.variant,
