@@ -198,7 +198,7 @@ def test_candidate_compaction_matches_dense():
                 lambda s, p: loc.update(s, p, CAL, CFG)
             )(state, _cloud(pts[: CFG.max_points]))
         dense = loc.cluster(diff, CAL, CFG)
-        for method in ("sort", "scatter"):
+        for method in ("sort", "scatter", "sort2"):
             cand = loc.cluster(
                 diff,
                 CAL,
@@ -234,7 +234,7 @@ def test_candidate_compaction_capacity_exceeds_candidates():
             lambda s, p: loc.update(s, p, CAL, small)
         )(state, np.asarray(cloud))
     dense = loc.cluster(diff, CAL, small)
-    for method in ("sort", "scatter"):
+    for method in ("sort", "scatter", "sort2"):
         cand = loc.cluster(
             diff,
             CAL,

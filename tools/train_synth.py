@@ -65,8 +65,17 @@ def stage_car_batches(args, jax, jnp, rng):
     )
     batches = []
     for _ in range(args.n_batches):
+        # --hard: a 50/50 easy/hard scene mix, so the hard-tier failure
+        # modes are learned without regressing the easy tier.
         scenes = [
-            make_scene(rng, CAM_H, CAM_W, max_cars=6, car_size=(180, 660))
+            make_scene(
+                rng,
+                CAM_H,
+                CAM_W,
+                max_cars=6,
+                car_size=(180, 660),
+                hard=bool(getattr(args, "hard", False) and rng.random() < 0.5),
+            )
             for _ in range(args.batch)
         ]
         images, xywh, label, valid = scene_to_targets(scenes, "car", capacity)
@@ -214,6 +223,11 @@ def main() -> int:
                     "the TrainState, so a resumed run keeps the accumulated "
                     "average (checkpoints written with a different --ema "
                     "on/off setting are structurally incompatible).")
+    ap.add_argument("--hard", action="store_true",
+                    help="car stage only: train on HARD scenes (occlusion, "
+                    "edge truncation, motion blur, lighting extremes, and "
+                    "armor-less distractor cars as explicit negatives — the "
+                    "failure mode the hard eval tier exposed, PERF.md)")
     ap.add_argument("--assigner", choices=["center", "tal"], default="center",
                     help="anchor assignment in the loss: 'center' (closest-"
                     "center-inside-box) or 'tal' (Ultralytics task-aligned "
