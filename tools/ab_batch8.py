@@ -34,12 +34,19 @@ def main() -> int:
     ap.add_argument("--detector-field", default="",
                     help="RobotDetectorConfig field to A/B (int values), "
                     "e.g. max_cars")
+    ap.add_argument("--armor-size-ab", action="store_true",
+                    help="treat --values as armor input sizes; each arm "
+                    "loads its own size-matched armor checkpoint")
     ap.add_argument("--values", default="0,1")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--variant", default="m")
     ap.add_argument("--armor-size", type=int, default=320)
     ap.add_argument("--max-cars", type=int, default=8)
+    ap.add_argument("--max-fg", type=int, default=0,
+                    help="LocatorConfig.max_foreground override (0 = default)")
+    ap.add_argument("--max-points", type=int, default=0,
+                    help="LocatorConfig.max_points override (0 = default)")
     args = ap.parse_args()
 
     import jax
@@ -58,15 +65,18 @@ def main() -> int:
     from rm_radar_tpu.utils.io import pad_points
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    suffix = "" if args.armor_size == 640 else f"_{args.armor_size}"
     car_v = load_variables(
         os.path.join(repo, f"assets/models/car_synth_{args.variant}.npz")
     )
-    armor_v = load_variables(
-        os.path.join(
-            repo, f"assets/models/armor_synth_{args.variant}{suffix}.npz"
+
+    def armor_weights(size: int):
+        suffix = "" if size == 640 else f"_{size}"
+        return load_variables(
+            os.path.join(
+                repo, f"assets/models/armor_synth_{args.variant}{suffix}.npz"
+            )
         )
-    )
+
     import dataclasses
 
     from rm_radar_tpu.configs import LocatorConfig
@@ -74,13 +84,23 @@ def main() -> int:
     def make_config(value: str):
         # Construct per arm AFTER the env is set: env-default config fields
         # (e.g. LocatorConfig.candidate_compaction) are read at construction.
+        armor_size = int(value) if args.armor_size_ab else args.armor_size
         cfg = RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,
-                armor_input_width=args.armor_size,
-                armor_input_height=args.armor_size,
+                armor_input_width=armor_size,
+                armor_input_height=armor_size,
             )
         )
+        loc_over = {}
+        if args.max_fg:
+            loc_over["max_foreground"] = args.max_fg
+        if args.max_points:
+            loc_over["max_points"] = args.max_points
+        if loc_over:
+            cfg = dataclasses.replace(
+                cfg, locator=dataclasses.replace(cfg.locator, **loc_over)
+            )
         if args.locator_field:
             cfg = dataclasses.replace(
                 cfg,
@@ -97,10 +117,14 @@ def main() -> int:
             )
         return cfg
 
-    assert args.env or args.locator_field or args.detector_field, (
-        "need --env, --locator-field or --detector-field"
+    assert (
+        args.env or args.locator_field or args.detector_field
+        or args.armor_size_ab
+    ), "need --env, --locator-field, --detector-field or --armor-size-ab"
+    knob = (
+        args.env or args.locator_field or args.detector_field
+        or "armor_size"
     )
-    knob = args.env or args.locator_field or args.detector_field
     values = args.values.split(",")
     arms = {}
     for v in values:
@@ -111,7 +135,9 @@ def main() -> int:
             car_variant=args.variant,
             armor_variant=args.variant,
             car_variables=car_v,
-            armor_variables=armor_v,
+            armor_variables=armor_weights(
+                int(v) if args.armor_size_ab else args.armor_size
+            ),
         )
     config = make_config(values[0])
 
