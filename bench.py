@@ -23,16 +23,17 @@ Flags (env):
                  per-frame latency measure, but on this tunnel it times the
                  relay as much as the chip; same-session A/B numbers are in
                  PERF.md.
-  BENCH_ARMOR_SIZE  armor-stage network input (default 320). The reference
+  BENCH_ARMOR_SIZE  armor-stage network input (default 256). The reference
                  runs its armor engine at 640, but radar car crops are
-                 100-400 px, so 640 mostly upsamples; 320 cuts armor FLOPs
-                 4x with zero measured accuracy cost once trained for
-                 (held-out sweeps: car P/R 1.0/1.0 and label accuracy 1.0
-                 at the bench's own yolov8m for BOTH 416 and 320, and
-                 1.0/0.993/1.0 at yolov8n across 640/416/320 —
+                 100-400 px, so 640 mostly upsamples; 256 cuts armor FLOPs
+                 6.25x with zero measured accuracy cost once trained for
+                 (held-out sweeps at the bench's own yolov8m: easy-tier
+                 P/R/label 1.0 and mAP equal to 320; the 24-scene hard
+                 tier reads >= 320 on every metric; the batch-8
+                 interleaved A/B measured -0.95 ms/frame vs 320 —
                  tools/eval_synth.py, PERF.md). Set 640 for the strict
-                 reference configuration; 416/640 numbers are recorded in
-                 PERF.md.
+                 reference configuration; 320/416/640 numbers are
+                 recorded in PERF.md.
   BENCH_WEIGHTS  "synth" (default when assets/models has checkpoints for
                  BENCH_VARIANT): real trained weights + synthetic 2592x2048
                  scenes with realistic car counts, so detection counts, crop
@@ -204,7 +205,7 @@ def main() -> int:
     n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
     max_cars = int(os.environ.get("BENCH_MAX_CARS", "8"))
     variant = os.environ.get("BENCH_VARIANT", "m")
-    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "320"))
+    armor_size = int(os.environ.get("BENCH_ARMOR_SIZE", "256"))
     # Locate-stage capacities fit to the declared workload (reference clouds
     # are 10,000 points, SURVEY.md §2.6; correlated synth clouds peak ~750
     # foreground points), each validated by an interleaved batch-8 A/B

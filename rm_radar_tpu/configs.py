@@ -153,10 +153,12 @@ class LocatorConfig:
     # PERF.md).
     use_pallas_compaction: bool = False
     # Duplicate-removal lowering inside the point-driven candidate
-    # compaction (locator._compact_from_candidates): "scatter" (owner-table
-    # scatter-min, sort-free) or "sort" (argsort the ~49K candidates — the
-    # round-2 lowering, ~1.4 ms/frame of the cluster stage in the round-3
-    # ablation). Exactly equivalent (tested). Env override for A/B.
+    # compaction (locator._compact_from_candidates): "sort" (argsort the
+    # ~30K candidates — the default, ~1.4 ms/frame of the cluster stage in
+    # the round-3 ablation), "scatter" (owner-table scatter-min, sort-free;
+    # measured +0.218 ms/frame) or "sort2" (cumsum-rank selection instead
+    # of the second top_k; measured +0.295 ms/frame). Exactly equivalent
+    # (tested). Env override for A/B.
     candidate_compaction: str = dataclasses.field(
         default_factory=lambda: __import__("os").environ.get(
             "RM_RADAR_COMPACTION", "sort"
