@@ -59,7 +59,7 @@ def log(*args):
 
 
 def bench_batch8(
-    radar, images, clouds, variant, max_cars, n_frames, armor_size=640,
+    radar, images, clouds, variant, max_cars, n_frames, size_desc="armor@640",
     weights_mode="random", background=None,
 ) -> int:
     """8-camera batched throughput: frames/sec/chip (BASELINE.json metric).
@@ -171,7 +171,7 @@ def bench_batch8(
             {
                 "metric": "frames/sec/chip at batch-8 multi-camera, device-"
                 f"tracked (2592x2048, yolov8{variant} cascade, "
-                f"armor@{armor_size}, {max_cars}-car armor batch, "
+                f"{size_desc}, {max_cars}-car armor batch, "
                 f"{weights_mode} weights)",
                 "value": round(fps, 2),
                 "unit": "frames/s",
@@ -216,7 +216,14 @@ def main() -> int:
     log(f"devices: {jax.devices()}")
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    car_w = os.path.join(repo, "assets/models", f"car_synth_{variant}.npz")
+    car_size = int(os.environ.get("BENCH_CAR_SIZE", "640"))
+    car_w = os.path.join(
+        repo,
+        "assets/models",
+        f"car_synth_{variant}.npz"
+        if car_size == 640
+        else f"car_synth_{variant}_{car_size}.npz",
+    )
     armor_w = os.path.join(
         repo,
         "assets/models",
@@ -279,6 +286,8 @@ def main() -> int:
     config = RadarConfig(
         detector=RobotDetectorConfig(
             max_cars=max_cars,
+            input_width=car_size,
+            input_height=car_size,
             armor_input_width=armor_size,
             armor_input_height=armor_size,
             crop_window=int(os.environ.get("BENCH_CROP_WINDOW", "768")),
@@ -291,6 +300,11 @@ def main() -> int:
         armor_variant=variant,
         car_variables=car_variables,
         armor_variables=armor_variables,
+    )
+    size_desc = (
+        f"armor@{armor_size}"
+        if car_size == 640
+        else f"car@{car_size}, armor@{armor_size}"
     )
 
     if os.environ.get("BENCH_MODE", "batch8") == "batch8":
@@ -321,7 +335,7 @@ def main() -> int:
                 armor_variables=armor_variables,
             )
         return bench_batch8(
-            radar, images, clouds, variant, batch_cars, n_frames, armor_size,
+            radar, images, clouds, variant, batch_cars, n_frames, size_desc,
             weights_mode, background=background,
         )
 
@@ -458,7 +472,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "detect+locate+track ms/frame p50 (2592x2048, "
-                f"yolov8{variant} cascade, armor@{armor_size}, {bucket_desc}, "
+                f"yolov8{variant} cascade, {size_desc}, {bucket_desc}, "
                 f"{weights_mode} weights)",
                 "value": round(p50, 3),
                 "unit": "ms",

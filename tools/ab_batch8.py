@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--armor-size-ab", action="store_true",
                     help="treat --values as armor input sizes; each arm "
                     "loads its own size-matched armor checkpoint")
+    ap.add_argument("--car-size-ab", action="store_true",
+                    help="treat --values as car-stage input sizes; each "
+                    "arm loads its own size-matched car checkpoint")
     ap.add_argument("--values", default="0,1")
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
@@ -65,9 +68,16 @@ def main() -> int:
     from rm_radar_tpu.utils.io import pad_points
 
     repo = os.path.join(os.path.dirname(__file__), "..")
-    car_v = load_variables(
-        os.path.join(repo, f"assets/models/car_synth_{args.variant}.npz")
-    )
+
+    def car_weights(size: int):
+        suffix = "" if size == 640 else f"_{size}"
+        return load_variables(
+            os.path.join(
+                repo, f"assets/models/car_synth_{args.variant}{suffix}.npz"
+            )
+        )
+
+    car_v = None if args.car_size_ab else car_weights(640)
 
     def armor_weights(size: int):
         suffix = "" if size == 640 else f"_{size}"
@@ -85,9 +95,12 @@ def main() -> int:
         # Construct per arm AFTER the env is set: env-default config fields
         # (e.g. LocatorConfig.candidate_compaction) are read at construction.
         armor_size = int(value) if args.armor_size_ab else args.armor_size
+        car_size = int(value) if args.car_size_ab else 640
         cfg = RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,
+                input_width=car_size,
+                input_height=car_size,
                 armor_input_width=armor_size,
                 armor_input_height=armor_size,
             )
@@ -119,11 +132,11 @@ def main() -> int:
 
     assert (
         args.env or args.locator_field or args.detector_field
-        or args.armor_size_ab
-    ), "need --env, --locator-field, --detector-field or --armor-size-ab"
+        or args.armor_size_ab or args.car_size_ab
+    ), "need an A/B axis (--env/--locator-field/--detector-field/*-size-ab)"
     knob = (
         args.env or args.locator_field or args.detector_field
-        or "armor_size"
+        or ("car_size" if args.car_size_ab else "armor_size")
     )
     values = args.values.split(",")
     arms = {}
@@ -134,7 +147,9 @@ def main() -> int:
             make_config(v),
             car_variant=args.variant,
             armor_variant=args.variant,
-            car_variables=car_v,
+            car_variables=(
+                car_weights(int(v)) if args.car_size_ab else car_v
+            ),
             armor_variables=armor_weights(
                 int(v) if args.armor_size_ab else args.armor_size
             ),

@@ -200,6 +200,13 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=1000)
     ap.add_argument("--variant", default="n")
     ap.add_argument("--armor-sizes", default="640,416,320")
+    ap.add_argument(
+        "--car-input",
+        type=int,
+        default=640,
+        help="car-stage network input (reference 640); non-640 loads the "
+        "size-suffixed car checkpoint (car_synth_<variant>_<size>.npz)",
+    )
     ap.add_argument("--max-cars", type=int, default=8)
     ap.add_argument("--weights", default="assets/models")
     ap.add_argument(
@@ -239,8 +246,11 @@ def main() -> int:
     from rm_radar_tpu.detect.detector import RobotDetector
     from rm_radar_tpu.models.weights import load_variables
 
+    car_suffix = "" if args.car_input == 640 else f"_{args.car_input}"
     car_v = load_variables(
-        os.path.join(args.weights, f"car_synth_{args.variant}.npz")
+        os.path.join(
+            args.weights, f"car_synth_{args.variant}{car_suffix}.npz"
+        )
     )
 
     def armor_weights(size: int):
@@ -267,6 +277,8 @@ def main() -> int:
         det = RobotDetector(
             RobotDetectorConfig(
                 max_cars=args.max_cars,
+                input_width=args.car_input,
+                input_height=args.car_input,
                 armor_input_width=size,
                 armor_input_height=size,
             ),

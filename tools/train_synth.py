@@ -387,9 +387,7 @@ def main() -> int:
             )
 
     os.makedirs(args.out, exist_ok=True)
-    suffix = (
-        f"_{args.size}" if args.stage == "armor" and args.size != 640 else ""
-    )
+    suffix = "" if args.size == 640 else f"_{args.size}"
     path = os.path.join(
         args.out, f"{args.stage}_synth_{args.variant}{suffix}.npz"
     )
