@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--variant", default="m")
     ap.add_argument("--armor-size", type=int, default=320)
+    ap.add_argument("--car-size", type=int, default=640,
+                    help="fixed car-stage input for both arms (loads the "
+                    "size-matched car checkpoint)")
     ap.add_argument("--max-cars", type=int, default=8)
     ap.add_argument("--max-fg", type=int, default=0,
                     help="LocatorConfig.max_foreground override (0 = default)")
@@ -77,7 +80,7 @@ def main() -> int:
             )
         )
 
-    car_v = None if args.car_size_ab else car_weights(640)
+    car_v = None if args.car_size_ab else car_weights(args.car_size)
 
     def armor_weights(size: int):
         suffix = "" if size == 640 else f"_{size}"
@@ -95,7 +98,7 @@ def main() -> int:
         # Construct per arm AFTER the env is set: env-default config fields
         # (e.g. LocatorConfig.candidate_compaction) are read at construction.
         armor_size = int(value) if args.armor_size_ab else args.armor_size
-        car_size = int(value) if args.car_size_ab else 640
+        car_size = int(value) if args.car_size_ab else args.car_size
         cfg = RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,

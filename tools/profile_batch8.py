@@ -217,6 +217,12 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--variant", default="m")
     ap.add_argument("--armor-size", type=int, default=320)
+    ap.add_argument("--car-size", type=int, default=640,
+                    help="car-stage input (loads size-matched checkpoint)")
+    ap.add_argument("--max-fg", type=int, default=0,
+                    help="LocatorConfig.max_foreground override (0=default)")
+    ap.add_argument("--max-points", type=int, default=0,
+                    help="LocatorConfig.max_points override (0=default)")
     ap.add_argument("--max-cars", type=int, default=8)
     ap.add_argument(
         "--variants",
@@ -276,20 +282,36 @@ def main() -> int:
         )
         radar = Radar(config, car_variant="n", armor_variant="n")
     else:
+        import dataclasses
+
         config = RadarConfig(
             detector=RobotDetectorConfig(
                 max_cars=args.max_cars,
+                input_width=args.car_size,
+                input_height=args.car_size,
                 armor_input_width=args.armor_size,
                 armor_input_height=args.armor_size,
             )
         )
+        loc_over = {}
+        if args.max_fg:
+            loc_over["max_foreground"] = args.max_fg
+        if args.max_points:
+            loc_over["max_points"] = args.max_points
+        if loc_over:
+            config = dataclasses.replace(
+                config,
+                locator=dataclasses.replace(config.locator, **loc_over),
+            )
+        car_suffix = "" if args.car_size == 640 else f"_{args.car_size}"
         radar = Radar(
             config,
             car_variant=args.variant,
             armor_variant=args.variant,
             car_variables=load_variables(
                 os.path.join(
-                    repo, f"assets/models/car_synth_{args.variant}.npz"
+                    repo,
+                    f"assets/models/car_synth_{args.variant}{car_suffix}.npz",
                 )
             ),
             armor_variables=load_variables(
