@@ -219,6 +219,16 @@ def make_scene(
     is reported in ``armor_visible``), frame-edge truncation, motion blur,
     global/local lighting extremes, and armor-less distractor cars that
     tempt both cascade stages.
+
+    Beyond the random-overlap occlusion, ~35% of later-placed hard cars are
+    deliberately AIMED at an earlier car's armor plate, covering a random
+    0.3-0.85 horizontal fraction of it. This is the tier's durable
+    discriminative axis: the armor stage trains on single-car canvases
+    (tools/train_synth.py), so car-car plate occlusion can never enter its
+    training distribution — a mostly-covered glyph is irreducibly ambiguous
+    and keeps hard-tier label accuracy strictly inside (0, 1) even after
+    hard-mix retrains saturate the blur/lighting/truncation axes (the
+    round-3 event that forced this hardening; see PERF.md).
     """
     img = _background(rng, height, width)
     _add_distractors(img, rng)
@@ -235,12 +245,31 @@ def make_scene(
     occupied: list = []
     max_overlap = 0.45 if hard else 0.0
     for i in range(n_cars):
-        for _ in range(30):  # rejection-sample a placement
+        for attempt in range(30):  # rejection-sample a placement
             cw = int(rng.integers(car_size[0], car_size[1]))
             ch = int(cw * rng.uniform(0.6, 0.95))
             if cw >= width - 2 or ch >= height - 2:
                 continue
-            if hard and rng.random() < 0.25:
+            cap = max_overlap
+            if hard and armors and attempt < 15 and rng.random() < 0.35:
+                # Aimed plate occlusion: cover a horizontal fraction f of a
+                # previous car's plate (full plate height), leaving the rest
+                # of the glyph visible — the armor stage's eval-only axis.
+                # Covering the plate band can cost more car-box overlap than
+                # the random cap allows, so aimed attempts get a looser one.
+                cap = 0.65
+                px, py, pw, ph = armors[int(rng.integers(len(armors)))]
+                f = rng.uniform(0.3, 0.85)
+                if rng.random() < 0.5:  # cover the plate's left portion
+                    x = int(px + f * pw - cw)
+                else:  # cover the plate's right portion
+                    x = int(px + (1.0 - f) * pw)
+                ylo = int(py + ph - ch)
+                x = int(np.clip(x, -cw // 2, width - cw // 2 - 1))
+                y = int(np.clip(int(rng.integers(ylo, py + 1))
+                                if ylo <= py else ylo,
+                                -ch // 2, height - ch // 2 - 1))
+            elif hard and rng.random() < 0.25:
                 # Edge truncation: center can sit outside the frame; keep
                 # at least ~35% of the car visible.
                 x = int(rng.integers(-cw // 2, width - cw // 2))
@@ -254,8 +283,7 @@ def make_scene(
             if (vis_x1 - vis_x0) * (vis_y1 - vis_y0) < 0.35 * cw * ch:
                 continue
             ok = all(
-                _overlap_frac((x, y, cw, ch), o) <= max_overlap
-                for o in occupied
+                _overlap_frac((x, y, cw, ch), o) <= cap for o in occupied
             )
             if ok:
                 break

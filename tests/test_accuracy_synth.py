@@ -69,33 +69,39 @@ def test_cascade_accuracy_on_held_out_scenes(cascade):
 @pytest.mark.slow
 def test_cascade_hard_tier_has_headroom(cascade):
     """Hard tier (occlusion / truncation / blur / lighting / distractor
-    cars): the metrics must sit strictly inside (0, 1) — a saturated eval
-    cannot detect regressions — with floors that catch real degradation.
+    cars, plus AIMED car-over-plate occlusion since the round-3 hardening):
+    the metrics must sit strictly inside (0, 1) — a saturated eval cannot
+    detect regressions — with floors that catch real degradation.
 
-    Measured with the checked-in hard-mix-retrained yolov8n weights
-    (tools/train_synth.py --hard, round 3): precision 1.0, recall 0.917,
-    label 0.879, mAP@[.5:.95] 0.863 on these 36 cars. Precision saturates
-    BY DESIGN after the hard-mix fix (armor-less distractor cars were
-    trained as explicit negatives — the pre-fix checkpoint read 0.41, and
-    the precision FLOOR below alarms if that failure mode ever returns);
-    discriminativity lives in recall / label / mAP, which the ceilings
-    keep un-saturated. Floors sit ~3 moved-boxes below measured (one box
-    on 36 cars is ~0.03)."""
+    History: the first hard tier saturated after BOTH stages were hard-mix
+    retrained (every metric 1.0 on these 12 scenes — the ceiling alarm below
+    fired, as designed). The durable fix is an eval-only difficulty axis the
+    armor stage structurally cannot train through: ~35% of later-placed hard
+    cars are aimed to cover 0.3-0.85 of an earlier car's plate
+    (train/synth.py::make_scene) — armor training uses single-car canvases,
+    so a mostly-covered glyph stays irreducibly ambiguous.
+
+    Measured with the checked-in hard-mix yolov8n weights on the hardened
+    tier, 12 scenes / 39 cars: precision 0.909, recall 0.769, armor
+    detected 0.967, label 0.900 (visible-only 0.963), mAP@[.5:.95] 0.558.
+    Floors sit ~3-4 moved boxes below measured (one box is ~0.03)."""
     from eval_synth import evaluate, make_eval_scenes
 
     scenes = make_eval_scenes(12, seed=1000, hard=True)
     m = evaluate(cascade, scenes)
     assert m["n_gt_cars"] >= 24, m
     # Floors: regression alarms.
-    assert m["car_precision"] >= 0.90, m  # distractor-fix regression alarm
-    assert m["map_50_95"] >= 0.70, m
-    assert m["car_recall"] >= 0.80, m
+    assert m["car_precision"] >= 0.78, m  # distractor-fix regression alarm
+    assert m["map_50_95"] >= 0.45, m
+    assert m["car_recall"] >= 0.65, m
     assert m["label_accuracy"] >= 0.75, m
+    assert m["label_accuracy_visible"] >= 0.85, m
     # Ceilings: saturation alarms — if the hard tier's discriminative
     # metrics ever read ~1.0 it has stopped being a hard tier and must be
     # hardened further.
-    assert m["map_50_95"] <= 0.98, m
-    assert m["label_accuracy"] <= 0.99, m
+    assert m["map_50_95"] <= 0.90, m
+    assert m["car_recall"] <= 0.97, m
+    assert m["label_accuracy"] <= 0.97, m
 
 
 @pytest.mark.slow

@@ -124,12 +124,19 @@ def stage_armor_batches(args, jax, jnp, rng, dst: int):
     for _ in range(args.n_batches):
         canvases, crops, plates, labels = [], [], [], []
         while len(canvases) < args.batch:
+            # --hard: 50/50 easy/hard canvases (truncation, motion blur,
+            # lighting extremes, distractor-car background) — the armor
+            # stage's share of the hard-tier gap; car-car plate occlusion
+            # stays eval-only (single-car canvases have no occluders).
             s = make_scene(
                 rng,
                 ARMOR_CANVAS,
                 ARMOR_CANVAS,
                 car_size=(180, 640),
                 n_cars=1,
+                hard=bool(
+                    getattr(args, "hard", False) and rng.random() < 0.5
+                ),
             )
             if len(s.car_xywh) != 1:
                 continue
@@ -224,10 +231,13 @@ def main() -> int:
                     "average (checkpoints written with a different --ema "
                     "on/off setting are structurally incompatible).")
     ap.add_argument("--hard", action="store_true",
-                    help="car stage only: train on HARD scenes (occlusion, "
-                    "edge truncation, motion blur, lighting extremes, and "
-                    "armor-less distractor cars as explicit negatives — the "
-                    "failure mode the hard eval tier exposed, PERF.md)")
+                    help="50/50 easy/hard training mix. Car stage: full "
+                    "hard scenes (occlusion, edge truncation, motion blur, "
+                    "lighting extremes, armor-less distractor cars as "
+                    "explicit negatives). Armor stage: hard single-car "
+                    "canvases (truncation/blur/lighting/distractor "
+                    "background; car-car plate occlusion stays eval-only). "
+                    "See PERF.md hard-tier sections.")
     ap.add_argument("--assigner", choices=["center", "tal"], default="center",
                     help="anchor assignment in the loss: 'center' (closest-"
                     "center-inside-box) or 'tal' (Ultralytics task-aligned "
