@@ -91,6 +91,13 @@ class Detector:
             and os.environ.get("RM_RADAR_LETTERBOX_BF16", "0") == "1"
             else None
         )
+        # Banded lowering of the full-frame letterbox resample matmuls:
+        # output blocks of N rows contract only their static source band
+        # (~10x fewer MXU FLOPs at 2592->512, bit-identical — see
+        # ops/preprocess._banded_left). Value = block rows, 0 = dense.
+        self.letterbox_band = int(
+            os.environ.get("RM_RADAR_LETTERBOX_BAND", "0")
+        )
         self._jitted = {}
 
     def raw_forward(self, blobs: Array) -> Array:
@@ -118,6 +125,7 @@ class Detector:
                 cfg.input_height,
                 cfg.input_width,
                 matmul_dtype=self.letterbox_mm_dtype,
+                band_block=self.letterbox_band,
             )
             raw = self.model.apply(self.variables, blob[None], pre_s2d=True)[0]
         else:

@@ -133,12 +133,64 @@ def _letterbox_s2d_matrices(
     return ry_blob, wx, row_valid, col_valid
 
 
+def _banded_left(const_m: np.ndarray, x: Array, block: int, mm_dtype) -> Array:
+    """``const_m @ x`` exploiting the constant's banded sparsity.
+
+    The resample matrices have two nonzeros per row in a monotone band, so a
+    dense [M, K] matmul wastes ~K/(2·M/K-span) of its FLOPs multiplying
+    structural zeros. Splitting the output into static row blocks and slicing
+    each block's nonzero source range (known at trace time) keeps everything
+    on the MXU while cutting the FLOPs ~block/(band) — bit-exact, because the
+    excluded entries are exactly 0.0 and each output element still sums the
+    same two nonzero products (f32 addition with 0.0 is the identity).
+    """
+    m = const_m.shape[0]
+    outs = []
+    for b0 in range(0, m, block):
+        blk = const_m[b0 : b0 + block]
+        nz = np.nonzero(blk.any(axis=0))[0]
+        if nz.size == 0:
+            outs.append(jnp.zeros((blk.shape[0], x.shape[1]), jnp.float32))
+            continue
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        outs.append(
+            jnp.matmul(
+                jnp.asarray(blk[:, lo:hi], mm_dtype),
+                x[lo:hi],
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
+def _banded_right(x: Array, const_m: np.ndarray, block: int, mm_dtype) -> Array:
+    """``x @ const_m`` exploiting banded sparsity (see :func:`_banded_left`)."""
+    n = const_m.shape[1]
+    outs = []
+    for c0 in range(0, n, block):
+        blk = const_m[:, c0 : c0 + block]
+        nz = np.nonzero(blk.any(axis=1))[0]
+        if nz.size == 0:
+            outs.append(jnp.zeros((x.shape[0], blk.shape[1]), jnp.float32))
+            continue
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        outs.append(
+            jnp.matmul(
+                x[:, lo:hi],
+                jnp.asarray(blk[lo:hi], mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=1)
+
+
 def letterbox_s2d(
     image: Array,
     dst_height: int = 640,
     dst_width: int = 640,
     pad_value: float = 128.0,
     matmul_dtype=None,
+    band_block: int = 0,
 ) -> Tuple[Array, PreParams]:
     """Static letterbox emitting the space-to-depth blob layout directly.
 
@@ -155,6 +207,13 @@ def letterbox_s2d(
     and one column matmul against a constant [W*3, dst_w/2*6] matrix — which
     encodes column resampling, the q parity split, channel deinterleave and
     the BGR->RGB flip as one linear map — lands directly in s2d layout.
+
+    ``band_block`` > 0 additionally lowers both matmuls as banded block
+    matmuls (:func:`_banded_left`): output blocks of ``band_block`` rows
+    (``6 * band_block`` lanes for the column matmul) each contract only
+    against their static nonzero source band — ~an order of magnitude fewer
+    MXU FLOPs at full-camera downscale ratios (2592->512 is a 5x band),
+    bit-identical output.
     """
     src_h, src_w = int(image.shape[0]), int(image.shape[1])
     pparam = compute_pre_param(src_h, src_w, dst_height, dst_width)
@@ -163,17 +222,23 @@ def letterbox_s2d(
     )
     mm_dtype = matmul_dtype or jnp.float32
     img2d = image.reshape(src_h, src_w * 3).astype(mm_dtype)
-    wx_c = jnp.asarray(wx, mm_dtype)
+    wx_c = None if band_block else jnp.asarray(wx, mm_dtype)
     h2, w2 = dst_height // 2, dst_width // 2
     halves = []
     for p in (0, 1):
-        ry_p = jnp.asarray(ry_blob[p::2], mm_dtype)  # [h2, src_h]
-        rows = jnp.matmul(
-            ry_p, img2d, preferred_element_type=jnp.float32
-        ).astype(mm_dtype)
-        out = jnp.matmul(
-            rows, wx_c, preferred_element_type=jnp.float32
-        )  # [h2, w2*6]
+        if band_block:
+            rows = _banded_left(
+                ry_blob[p::2], img2d, band_block, mm_dtype
+            ).astype(mm_dtype)
+            out = _banded_right(rows, wx, 6 * band_block, mm_dtype)
+        else:
+            ry_p = jnp.asarray(ry_blob[p::2], mm_dtype)  # [h2, src_h]
+            rows = jnp.matmul(
+                ry_p, img2d, preferred_element_type=jnp.float32
+            ).astype(mm_dtype)
+            out = jnp.matmul(
+                rows, wx_c, preferred_element_type=jnp.float32
+            )  # [h2, w2*6]
         out = jnp.floor(jnp.clip(out.reshape(h2, w2, 6), 0.0, 255.0))
         mask = (
             row_valid[p::2][:, None, None]

@@ -262,3 +262,23 @@ def test_letterbox_s2d_matches_reference_path(rng):
         assert np.isclose(float(pp.ratio), float(pp2.ratio))
         assert np.isclose(float(pp.dw), float(pp2.dw))
         assert np.isclose(float(pp.dh), float(pp2.dh))
+
+
+def test_letterbox_s2d_banded_is_bit_exact(rng):
+    """The banded block lowering (band_block > 0) must be bit-identical to
+    the dense letterbox_s2d for every block size, including blocks that do
+    not divide the output and all-pad blocks: excluded matrix entries are
+    exactly 0.0 and each output still sums the same two nonzero products."""
+    for (h, w), dst in (((100, 128), 64), ((128, 100), 64), ((64, 64), 64),
+                        ((2048 // 8, 2592 // 8), 64), ((127, 53), 32)):
+        img = jnp.asarray(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        dense, pp = preprocess.letterbox_s2d(img, dst, dst)
+        for block in (4, 8, 13, dst):
+            banded, pp2 = preprocess.letterbox_s2d(
+                img, dst, dst, band_block=block
+            )
+            np.testing.assert_array_equal(
+                np.asarray(banded), np.asarray(dense),
+                err_msg=f"{(h, w)} block={block}",
+            )
+            assert float(pp.ratio) == float(pp2.ratio)

@@ -152,21 +152,39 @@ def build_variants(radar, names):
             det.car.detect_fn(image, max_detections=radar.config.detector.max_cars)
         )
 
-    def carraw(image):
+    def _car_blob(image):
+        # Mirror Detector.detect_fn's preprocessing exactly, including the
+        # env-gated letterbox knobs (mm dtype, banded lowering) — the stage
+        # numbers must measure the same lowering the shipped program runs.
         from rm_radar_tpu.ops.preprocess import letterbox, letterbox_s2d
 
         c = det.car
         if c.use_letterbox_s2d and getattr(c.model.cfg, "s2d_stem", False):
             blob, _ = letterbox_s2d(
-                image, c.config.input_height, c.config.input_width
+                image,
+                c.config.input_height,
+                c.config.input_width,
+                matmul_dtype=c.letterbox_mm_dtype,
+                band_block=c.letterbox_band,
             )
+            return blob, True
+        blob, _ = letterbox(image, c.config.input_height, c.config.input_width)
+        return blob, False
+
+    def carraw(image):
+        c = det.car
+        blob, s2d = _car_blob(image)
+        if s2d:
             raw = c.model.apply(c.variables, blob[None], pre_s2d=True)
         else:
-            blob, _ = letterbox(
-                image, c.config.input_height, c.config.input_width
-            )
             raw = c.model.apply(c.variables, blob[None])
         return jnp.sum(raw.astype(jnp.float32))
+
+    def carlb(image):
+        # Car letterbox alone (the resample matmuls + pad), no model:
+        # isolates the s2d letterbox residue the banded lowering targets.
+        blob, _ = _car_blob(image)
+        return jnp.sum(blob.astype(jnp.float32))
 
     defs = {
         "full": (full, "tracked", True),
@@ -178,6 +196,7 @@ def build_variants(radar, names):
         "nopost": (nopost, None, False),
         "car": (car, None, False),
         "carraw": (carraw, None, False),
+        "carlb": (carlb, None, False),
     }
     for name in names:
         fn, state_kind, needs_ts = defs[name]
@@ -226,7 +245,7 @@ def main() -> int:
     ap.add_argument("--max-cars", type=int, default=8)
     ap.add_argument(
         "--variants",
-        default="full,notrack,nosearch,ccfree,nocluster,nolocate,nopost,car,carraw",
+        default="full,notrack,nosearch,ccfree,nocluster,nolocate,nopost,car,carraw,carlb",
     )
     ap.add_argument("--trace-dir", default="")
     ap.add_argument(
@@ -459,6 +478,7 @@ def main() -> int:
     delta("nolocate", "nopost")
     delta("nolocate", "car")
     delta("car", "carraw")
+    delta("carraw", "carlb")
     print(
         f"\nfull: {meds.get('full', float('nan')):.2f} ms/step = "
         f"{meds.get('full', float('nan')) / b:.3f} ms/frame",
