@@ -92,3 +92,32 @@ def test_terrain_is_not_foreground(located_scene):
     scene, config, calib, fg = located_scene
     n_fg = int(np.sum(np.asarray(fg.valid)))
     assert n_fg <= 150 * len(scene.car_xywh)
+
+
+def test_hard_scenes_carry_aimed_plate_occlusion():
+    """Distribution guard for the hard tier's durable difficulty axis
+    (train/synth.py::make_scene aimed placement): across many hard scenes a
+    meaningful share of plates must be partially covered by later cars —
+    if this silently regresses, the hard accuracy tier re-saturates and
+    stops detecting regressions (PERF.md "Hard-tier hardening")."""
+    rng = np.random.default_rng(1000)  # the gate tier's seed
+    vis = []
+    for _ in range(24):
+        s = make_scene(rng, 2048, 2592, max_cars=6, car_size=(180, 660),
+                       hard=True)
+        vis.extend(np.asarray(s.armor_visible).tolist())
+    vis = np.asarray(vis)
+    assert len(vis) >= 48
+    occluded = float(np.mean(vis < 0.9))
+    deep = float(np.mean(vis < 0.6))
+    assert 0.08 <= occluded <= 0.5, (occluded, deep)
+    assert deep >= 0.04, (occluded, deep)
+
+
+def test_easy_scenes_have_fully_visible_plates():
+    """Easy scenes allow zero car overlap, so every plate is fully visible
+    — the easy tier must stay a clean P/R/label-1.0 regression anchor."""
+    rng = np.random.default_rng(4242)
+    for _ in range(8):
+        s = make_scene(rng, 2048, 2592, max_cars=6, car_size=(180, 660))
+        assert np.all(np.asarray(s.armor_visible) >= 0.999)
