@@ -158,7 +158,12 @@ class LocatorConfig:
     # the round-3 ablation), "scatter" (owner-table scatter-min, sort-free;
     # measured +0.218 ms/frame) or "sort2" (cumsum-rank selection instead
     # of the second top_k; measured +0.295 ms/frame). Exactly equivalent
-    # (tested). Env override for A/B.
+    # (tested). The "dedup3_*" family additionally prunes each cloud's
+    # candidates to one per pixel at enqueue time (locator.update), which
+    # bounds duplicates per pixel to queue_size and shrinks the per-frame
+    # selection domain to a static queue_size*n_out slice: "dedup3_sort"
+    # (argsort + static-slice top_k) and "dedup3_topk" (top_k only, no
+    # argsort). Also exactly equivalent (tested). Env override for A/B.
     candidate_compaction: str = dataclasses.field(
         default_factory=lambda: __import__("os").environ.get(
             "RM_RADAR_COMPACTION", "sort"

@@ -134,6 +134,35 @@ def _project_flat(
     return flat_idx, jnp.where(ok, d, 0.0), ok
 
 
+def _dedup_cloud_candidates(
+    pix: Array, d: Array, depth_flat: Array, hw: int
+) -> Tuple[Array, Array]:
+    """Prune one cloud's (pixel, depth) candidates to <= 1 per pixel.
+
+    Only a max-depth candidate can ever match its own cloud's depth image
+    (built by scatter-max), and duplicate matches carry equal values, so
+    keeping a single max-depth candidate per pixel preserves the exact
+    foreground recovery of :func:`_compact_from_candidates` while bounding
+    duplicates per pixel across the whole queue to queue_size — the bound
+    the "dedup3_*" compaction methods rely on. Output is in pixel-sorted
+    order (candidate order within a cloud is value-irrelevant downstream).
+    """
+    is_max = (pix < hw) & (d == depth_flat[jnp.minimum(pix, hw)])
+    # Max-depth candidates sort before others within a pixel, so the first
+    # entry of each pixel run is a max-depth one whenever the pixel has any
+    # valid candidate (the scatter-max is attained by one of them).
+    key = pix * 2 + jnp.where(is_max, 0, 1)
+    order = jnp.argsort(key)
+    spix = pix[order]
+    sd = d[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), spix[1:] != spix[:-1]])
+    keep = first & (spix < hw)
+    return (
+        jnp.where(keep, spix, hw).astype(jnp.int32),
+        jnp.where(keep, sd, 0.0),
+    )
+
+
 def update(
     state: LocatorState,
     points: Array,
@@ -150,6 +179,8 @@ def update(
     h, w = config.zoomed_height, config.zoomed_width
     depth = jnp.zeros((h * w + 1,), jnp.float32)
     depth = depth.at[flat_idx].max(d)
+    if config.candidate_compaction.startswith("dedup3"):
+        flat_idx, d = _dedup_cloud_candidates(flat_idx, d, depth, h * w)
     depth = depth[:-1].reshape(h, w)
     background = jnp.maximum(state.background, depth)
     queue = jnp.concatenate([state.queue[1:], depth[None]], axis=0)
@@ -255,8 +286,19 @@ def _compact_from_candidates(
       the cumsum + two M-update scatters cost more than the top_k they
       replace. Both top_k-replacement attempts lost — the argsort itself
       is the irreducible part of this op on TPU.)
+    * "dedup3_sort" / "dedup3_topk": REQUIRE queues pruned at enqueue time
+      (update() applies :func:`_dedup_cloud_candidates` when the config's
+      candidate_compaction starts with "dedup3"). With <= 1 candidate per
+      pixel per cloud, duplicates per pixel are bounded by Q = queue_size,
+      so the first n_out unique keys all lie within the first Q*n_out
+      sorted positions — the selection pass shrinks from the full M domain
+      to a static Q*n_out slice. "dedup3_sort" keeps the argsort and
+      replaces the M-wide top_k with a sliced one; "dedup3_topk" drops the
+      argsort entirely and uses top_k(M -> Q*n_out) + top_k(Q*n_out ->
+      n_out).
     """
     hw = diff.size
+    q = pix_queue.shape[0]
     flat = diff.reshape(-1)
     pix = pix_queue.reshape(-1)
     depth = depth_queue.reshape(-1)
@@ -268,7 +310,18 @@ def _compact_from_candidates(
     # (max_foreground > queue_size * max_points): top_k caps at the
     # candidate count and the output pads with invalid slots.
     k = min(n_out, m)
-    if method == "scatter":
+    if method == "dedup3_topk":
+        t = min(q * k, m)
+        neg_t, pos_t = jax.lax.top_k(-key, t)
+        skey = -neg_t  # t smallest keys, ascending, <= q dups per pixel
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        )
+        keep = first & (skey < hw)
+        key2 = jnp.where(keep, skey, hw)
+        neg, pos = jax.lax.top_k(-key2, k)
+        vals = depth[pos_t[pos]]
+    elif method == "scatter":
         j = jnp.arange(m, dtype=jnp.int32)
         owner = jnp.full((hw + 1,), m, jnp.int32).at[key].min(j)
         uniq = owner[key] == j
@@ -298,6 +351,20 @@ def _compact_from_candidates(
         )
         val = jnp.pad(jnp.where(valid, out_val[:k], 0.0), (0, pad))
         return idx, val
+    elif method == "dedup3_sort":
+        order = jnp.argsort(key)
+        skey = key[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        )
+        keep = first & (skey < hw)
+        # Enqueue dedup bounds dups per pixel to q, so the first k kept
+        # entries sit within the first q*k sorted positions: the selection
+        # top_k runs over a static slice instead of the full M domain.
+        t = min(q * k, m)
+        key2 = jnp.where(keep, skey, hw)[:t]
+        neg, pos = jax.lax.top_k(-key2, k)
+        vals = depth[order[:t][pos]]
     else:
         # Scan order + dedup by stable sort: first of each equal key run.
         order = jnp.argsort(key)

@@ -180,8 +180,7 @@ def test_candidate_compaction_matches_dense():
 
     rng = np.random.default_rng(3)
     for trial, n_pts in enumerate((40, 200, CFG.max_points)):
-        state = loc.make_state(CFG)
-        diff = None
+        clouds = []
         for frame in range(5):
             pts = []
             for _ in range(n_pts):
@@ -194,25 +193,81 @@ def test_candidate_compaction_matches_dense():
                     rng.integers(5, 12)
                 )
                 pts.append(_point_at_pixel(u * 2, v * 2, d))
-            state, diff = jax.jit(
-                lambda s, p: loc.update(s, p, CAL, CFG)
-            )(state, _cloud(pts[: CFG.max_points]))
+            clouds.append(_cloud(pts[: CFG.max_points]))
+
+        def replay(cfg):
+            state, diff = loc.make_state(cfg), None
+            step = jax.jit(lambda s, p: loc.update(s, p, CAL, cfg))
+            for cl in clouds:
+                state, diff = step(state, cl)
+            return state, diff
+
+        state, diff = replay(CFG)
         dense = loc.cluster(diff, CAL, CFG)
-        for method in ("sort", "scatter", "sort2"):
+        n_fg = int(np.asarray(dense.valid).sum())
+        assert trial == 0 or n_fg > 0
+        for method in (
+            "sort", "scatter", "sort2", "dedup3_sort", "dedup3_topk"
+        ):
+            cfg_m = _compaction_cfg(method)
+            if method.startswith("dedup3"):
+                # These methods require queues pruned at enqueue time.
+                state_m, diff_m = replay(cfg_m)
+                np.testing.assert_array_equal(
+                    np.asarray(diff), np.asarray(diff_m)
+                )
+            else:
+                state_m, diff_m = state, diff
             cand = loc.cluster(
-                diff,
+                diff_m,
                 CAL,
-                _compaction_cfg(method),
-                candidates=(state.pix_queue, state.depth_queue),
+                cfg_m,
+                candidates=(state_m.pix_queue, state_m.depth_queue),
             )
-            n_fg = int(np.asarray(dense.valid).sum())
-            assert trial == 0 or n_fg > 0
             for a, b, name in zip(dense, cand, dense._fields):
                 np.testing.assert_array_equal(
                     np.asarray(a),
                     np.asarray(b),
                     err_msg=f"{name} n_pts={n_pts} method={method}",
                 )
+
+
+def test_dedup3_compaction_duplicate_heavy():
+    """Stress the dedup3 bound: one pixel receives many equal-depth points
+    (per-cloud dedup must collapse them to one candidate) while other
+    foreground pixels must still be recovered — without enqueue dedup,
+    duplicates of the first pixel would crowd a q*k-sized selection window
+    and lose the later pixels."""
+    import dataclasses
+
+    import jax
+
+    small = dataclasses.replace(CFG, max_points=128, max_foreground=4)
+    # 100 identical points at pixel (5,5), plus 8 distinct pixels after it
+    # in scan order; capacity 4 forces truncation at the 4th unique pixel.
+    def mk(depth):
+        pts = [_point_at_pixel(10, 10, depth)] * 100
+        pts += [_point_at_pixel(12 + 2 * i, 10, depth) for i in range(8)]
+        cloud = np.zeros((small.max_points, 3), np.float32)
+        cloud[: len(pts)] = np.asarray(pts, np.float32)
+        return cloud
+
+    for method in ("dedup3_sort", "dedup3_topk"):
+        cfg_m = dataclasses.replace(small, candidate_compaction=method)
+        state, diff = loc.make_state(cfg_m), None
+        step = jax.jit(lambda s, p: loc.update(s, p, CAL, cfg_m))
+        state, diff = step(state, mk(20.0))  # background
+        state, diff = step(state, mk(18.0))  # foreground band
+        dense = loc.cluster(diff, CAL, small)
+        cand = loc.cluster(
+            diff, CAL, cfg_m,
+            candidates=(state.pix_queue, state.depth_queue),
+        )
+        assert int(np.asarray(dense.valid).sum()) == 4  # truncated at cap
+        for a, b, name in zip(dense, cand, dense._fields):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} {method}"
+            )
 
 
 def test_candidate_compaction_capacity_exceeds_candidates():
@@ -223,23 +278,32 @@ def test_candidate_compaction_capacity_exceeds_candidates():
     import jax
 
     small = dataclasses.replace(CFG, max_points=64, max_foreground=256)
-    state = loc.make_state(small)
     pts = [_point_at_pixel(u * 2, v * 2, 10.0) for u, v in
            [(5, 5), (6, 5), (7, 5)]]
     cloud = np.zeros((small.max_points, 3), np.float32)
     cloud[: len(pts)] = np.asarray(pts, np.float32)
-    diff = None
-    for _ in range(4):
-        state, diff = jax.jit(
-            lambda s, p: loc.update(s, p, CAL, small)
-        )(state, np.asarray(cloud))
+
+    def replay(cfg):
+        state, diff = loc.make_state(cfg), None
+        step = jax.jit(lambda s, p: loc.update(s, p, CAL, cfg))
+        for _ in range(4):
+            state, diff = step(state, np.asarray(cloud))
+        return state, diff
+
+    state, diff = replay(small)
     dense = loc.cluster(diff, CAL, small)
-    for method in ("sort", "scatter", "sort2"):
+    for method in (
+        "sort", "scatter", "sort2", "dedup3_sort", "dedup3_topk"
+    ):
+        cfg_m = dataclasses.replace(small, candidate_compaction=method)
+        state_m, diff_m = (
+            replay(cfg_m) if method.startswith("dedup3") else (state, diff)
+        )
         cand = loc.cluster(
-            diff,
+            diff_m,
             CAL,
-            dataclasses.replace(small, candidate_compaction=method),
-            candidates=(state.pix_queue, state.depth_queue),
+            cfg_m,
+            candidates=(state_m.pix_queue, state_m.depth_queue),
         )
         for a, b, name in zip(dense, cand, dense._fields):
             np.testing.assert_array_equal(
