@@ -286,6 +286,50 @@ def test_run_batch_tracked_device(radar):
 
 
 @pytest.mark.slow
+def test_run_stream_batch_matches_run_batch_tracked(radar):
+    """run_stream_batch (pipelined dispatch, async fetch) must yield exactly
+    what per-tick run_batch_tracked produces — only the schedule differs."""
+    rng = np.random.default_rng(11)
+    from rm_radar_tpu.utils.io import pad_points
+
+    ticks = []
+    for k in range(5):
+        images = rng.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+        clouds = np.stack(
+            [
+                pad_points(
+                    rng.uniform(1.0, 5.0, size=(50, 3)).astype(np.float32),
+                    TINY.locator.max_points,
+                )
+                for _ in range(2)
+            ]
+        )
+        ticks.append((images, clouds, [0.1 * k, 0.1 * k]))
+
+    streamed = list(radar.run_stream_batch(iter(ticks), depth=2))
+    assert len(streamed) == len(ticks)
+
+    carries = None
+    for tick, got in zip(ticks, streamed):
+        want, carries = radar.run_batch_tracked(*tick, carries=carries)
+        assert len(got) == len(want) == 2
+        for cam_got, cam_want in zip(got, want):
+            assert len(cam_got) == len(cam_want)
+            for rg, rw in zip(cam_got, cam_want):
+                assert (rg.label, rg.track_state) == (rw.label, rw.track_state)
+                for a, b in (
+                    (rg.rect, rw.rect),
+                    (rg.armors, rw.armors),
+                    (rg.location, rw.location),
+                ):
+                    assert (a is None) == (b is None)
+                    if a is not None:
+                        np.testing.assert_array_equal(
+                            np.asarray(a), np.asarray(b)
+                        )
+
+
+@pytest.mark.slow
 def test_detect_heterogeneous_sizes(radar):
     """Detector.detect accepts a mixed-size image list (reference
     ImageOrImages, detector.h:117-134), grouping by shape and reassembling
