@@ -110,6 +110,49 @@ def test_sharded_tracked_equals_unsharded_equals_host():
 
 
 @pytest.mark.slow
+def test_run_stream_batch_sharded_matches_unsharded():
+    """The pipelined serving loop (run_stream_batch) over the mesh must
+    yield what the unsharded per-tick run_batch_tracked produces."""
+    cfg = dataclasses.replace(
+        TINY,
+        detector=dataclasses.replace(
+            TINY.detector, car_conf_thresh=0.01, armor_conf_thresh=0.01
+        ),
+    )
+    rng = np.random.default_rng(12)
+    b = 2
+    images, cloud = _frames(b, rng, cfg)
+    clds = [np.stack([cloud(8.0)] * b)] + [
+        np.stack([cloud(6.0)] * b) for _ in range(3)
+    ]
+    ticks = [
+        (images, clds[t], [0.1 * (t + 1)] * b) for t in range(4)
+    ]
+
+    mesh = make_mesh(n_data=b, devices=jax.devices()[:b])
+    radar_s, radar_u = _mk_radar(cfg), _mk_radar(cfg)
+    streamed = list(radar_s.run_stream_batch(iter(ticks), depth=2, mesh=mesh))
+    assert len(streamed) == len(ticks)
+    carries = None
+    n_tracked = 0
+    for tick, got in zip(ticks, streamed):
+        want, carries = radar_u.run_batch_tracked(*tick, carries=carries)
+        for cam in range(b):
+            assert len(got[cam]) == len(want[cam])
+            for a, u in zip(got[cam], want[cam]):
+                np.testing.assert_allclose(a.rect, u.rect, atol=1e-5)
+                assert a.label == u.label
+                assert a.track_state == u.track_state
+                assert (a.location is None) == (u.location is None)
+                if a.location is not None:
+                    np.testing.assert_allclose(
+                        a.location, u.location, atol=1e-4
+                    )
+                n_tracked += a.track_state is not None
+    assert n_tracked > 0
+
+
+@pytest.mark.slow
 def test_full_shape_batch8_partitions_camera_axis():
     """Compile the REAL-shape batch-8 device-tracked program (2592x2048
     frames, armor@320, 8-car buckets) on the 8-device CPU mesh and assert
