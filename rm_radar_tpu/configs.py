@@ -169,6 +169,17 @@ class LocatorConfig:
             "RM_RADAR_COMPACTION", "sort"
         )
     )
+    # Depth-image ring layout: "stacked" keeps one [Q, H, W] array whose
+    # roll re-writes all Q images every frame (a [3, 1024, 1296] f32
+    # concatenate = 16 MB of HBM writes); "tuple" stores Q separate [H, W]
+    # leaves so the roll is pure pytree re-binding — pass-through leaves
+    # alias donated inputs instead of being copied. Bit-identical diffs
+    # (tested); env override for the on-chip A/B.
+    queue_layout: str = dataclasses.field(
+        default_factory=lambda: __import__("os").environ.get(
+            "RM_RADAR_QUEUE_LAYOUT", "stacked"
+        )
+    )
 
     @property
     def zoomed_width(self) -> int:

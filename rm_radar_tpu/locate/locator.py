@@ -65,7 +65,11 @@ class LocatorState(NamedTuple):
     """
 
     background: Array  # [H, W] float32, max-ever depth (mm)
-    queue: Array  # [Q, H, W] float32 ring of recent depth images
+    # [Q, H, W] float32 ring of recent depth images — or, with
+    # config.queue_layout == "tuple", a tuple of Q [H, W] leaves whose
+    # per-frame roll is pure pytree re-binding (no 16 MB concatenate; the
+    # pass-through leaves alias donated inputs).
+    queue: Array
     frames_seen: Array  # int32 scalar
     pix_queue: Array  # [Q, P] int32 flat pixel per queued point (H*W pad)
     depth_queue: Array  # [Q, P] float32 projected depth per queued point
@@ -83,9 +87,15 @@ class Foreground(NamedTuple):
 
 def make_state(config: LocatorConfig) -> LocatorState:
     h, w = config.zoomed_height, config.zoomed_width
+    if config.queue_layout == "tuple":
+        queue = tuple(
+            jnp.zeros((h, w), jnp.float32) for _ in range(config.queue_size)
+        )
+    else:
+        queue = jnp.zeros((config.queue_size, h, w), jnp.float32)
     return LocatorState(
         background=jnp.zeros((h, w), jnp.float32),
-        queue=jnp.zeros((config.queue_size, h, w), jnp.float32),
+        queue=queue,
         frames_seen=jnp.zeros((), jnp.int32),
         pix_queue=jnp.full(
             (config.queue_size, config.max_points), h * w, jnp.int32
@@ -183,7 +193,12 @@ def update(
         flat_idx, d = _dedup_cloud_candidates(flat_idx, d, depth, h * w)
     depth = depth[:-1].reshape(h, w)
     background = jnp.maximum(state.background, depth)
-    queue = jnp.concatenate([state.queue[1:], depth[None]], axis=0)
+    if config.queue_layout == "tuple":
+        # Pure pytree re-binding: the surviving images are pass-through
+        # leaves (aliased under donation), only the new image is fresh.
+        queue = tuple(state.queue[1:]) + (depth,)
+    else:
+        queue = jnp.concatenate([state.queue[1:], depth[None]], axis=0)
     pix_queue = jnp.concatenate([state.pix_queue[1:], flat_idx[None]], axis=0)
     depth_queue = jnp.concatenate([state.depth_queue[1:], d[None]], axis=0)
 

@@ -270,6 +270,47 @@ def test_dedup3_compaction_duplicate_heavy():
             )
 
 
+def test_queue_tuple_layout_matches_stacked():
+    """queue_layout="tuple" (roll = pytree re-binding, no concatenate) must
+    produce bit-identical diffs, states and clusters vs the stacked ring."""
+    import dataclasses
+
+    import jax
+
+    rng = np.random.default_rng(9)
+    cfg_t = dataclasses.replace(CFG, queue_layout="tuple")
+    st_s, st_t = loc.make_state(CFG), loc.make_state(cfg_t)
+    step_s = jax.jit(lambda s, p: loc.update(s, p, CAL, CFG))
+    step_t = jax.jit(lambda s, p: loc.update(s, p, CAL, cfg_t))
+    for frame in range(5):
+        pts = [
+            _point_at_pixel(
+                rng.uniform(0, CFG.zoomed_width - 1) * 2,
+                rng.uniform(0, CFG.zoomed_height - 1) * 2,
+                float(rng.integers(8, 16) if frame == 0 else
+                      rng.integers(5, 12)),
+            )
+            for _ in range(200)
+        ]
+        cl = _cloud(pts)
+        st_s, diff_s = step_s(st_s, cl)
+        st_t, diff_t = step_t(st_t, cl)
+        np.testing.assert_array_equal(np.asarray(diff_s), np.asarray(diff_t))
+        for i in range(CFG.queue_size):
+            np.testing.assert_array_equal(
+                np.asarray(st_s.queue[i]), np.asarray(st_t.queue[i])
+            )
+    np.testing.assert_array_equal(
+        np.asarray(st_s.pix_queue), np.asarray(st_t.pix_queue)
+    )
+    fg_s = loc.cluster(diff_s, CAL, CFG)
+    fg_t = loc.cluster(diff_t, CAL, cfg_t)
+    for a, b, name in zip(fg_s, fg_t, fg_s._fields):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
 def test_candidate_compaction_capacity_exceeds_candidates():
     """max_foreground > queue_size * max_points must pad, not crash (the
     dense path always supported such configs)."""
