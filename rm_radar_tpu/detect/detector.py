@@ -93,8 +93,9 @@ class Detector:
         )
         # Banded lowering of the full-frame letterbox resample matmuls:
         # output blocks of N rows contract only their static source band
-        # (~10x fewer MXU FLOPs at 2592->512, bit-identical — see
-        # ops/preprocess._banded_left). Value = block rows, 0 = dense.
+        # (~10x fewer MXU FLOPs at 2592->512; equal up to ~1e-4 of elements
+        # flipping one 1/255 floor-tie step — see ops/preprocess.
+        # _banded_left). Value = block rows, 0 = dense.
         self.letterbox_band = int(
             os.environ.get("RM_RADAR_LETTERBOX_BAND", "0")
         )

@@ -140,9 +140,15 @@ def _banded_left(const_m: np.ndarray, x: Array, block: int, mm_dtype) -> Array:
     dense [M, K] matmul wastes ~K/(2·M/K-span) of its FLOPs multiplying
     structural zeros. Splitting the output into static row blocks and slicing
     each block's nonzero source range (known at trace time) keeps everything
-    on the MXU while cutting the FLOPs ~block/(band) — bit-exact, because the
-    excluded entries are exactly 0.0 and each output element still sums the
-    same two nonzero products (f32 addition with 0.0 is the identity).
+    on the MXU while cutting the FLOPs ~block/(band). The excluded entries
+    are exactly 0.0, so every output element sums the same nonzero products —
+    but the *accumulation grouping* of a K-sliced dot differs from the dense
+    one (vectorized partial sums / FMA contraction), which can move a result
+    by 1 ulp. Downstream of the letterbox's floor() quantization that flips
+    values sitting exactly on an integer boundary by one 1/255 step: measured
+    ~1e-4 of output elements at the full camera shape (tests/
+    test_preprocess.py asserts the bound). Not bit-exact — quantization-tie
+    differences only.
     """
     m = const_m.shape[0]
     outs = []
@@ -212,8 +218,10 @@ def letterbox_s2d(
     matmuls (:func:`_banded_left`): output blocks of ``band_block`` rows
     (``6 * band_block`` lanes for the column matmul) each contract only
     against their static nonzero source band — ~an order of magnitude fewer
-    MXU FLOPs at full-camera downscale ratios (2592->512 is a 5x band),
-    bit-identical output.
+    MXU FLOPs at full-camera downscale ratios (2592->512 is a 5x band).
+    Output is equal up to floor-boundary quantization ties (~1e-4 of
+    elements move by one 1/255 step at the full camera shape; see
+    :func:`_banded_left`).
     """
     src_h, src_w = int(image.shape[0]), int(image.shape[1])
     pparam = compute_pre_param(src_h, src_w, dst_height, dst_width)

