@@ -153,20 +153,21 @@ class LocatorConfig:
     # PERF.md).
     use_pallas_compaction: bool = False
     # Duplicate-removal lowering inside the point-driven candidate
-    # compaction (locator._compact_from_candidates): "sort" (argsort the
-    # ~30K candidates — the default, ~1.4 ms/frame of the cluster stage in
-    # the round-3 ablation), "scatter" (owner-table scatter-min, sort-free;
-    # measured +0.218 ms/frame) or "sort2" (cumsum-rank selection instead
-    # of the second top_k; measured +0.295 ms/frame). Exactly equivalent
-    # (tested). The "dedup3_*" family additionally prunes each cloud's
-    # candidates to one per pixel at enqueue time (locator.update), which
-    # bounds duplicates per pixel to queue_size and shrinks the per-frame
-    # selection domain to a static queue_size*n_out slice: "dedup3_sort"
-    # (argsort + static-slice top_k) and "dedup3_topk" (top_k only, no
-    # argsort). Also exactly equivalent (tested). Env override for A/B.
+    # compaction (locator._compact_from_candidates). The default,
+    # "dedup3_topk", prunes each cloud's candidates to one per pixel at
+    # enqueue time (locator.update), which bounds duplicates per pixel to
+    # queue_size and lets the per-frame selection drop the M-wide argsort
+    # for two top_k passes (M -> Q*n_out -> n_out). Measured -0.328
+    # ms/frame vs "sort" in the round-3 interleaved batch-8 A/B at the
+    # shipped config. Alternatives, all exactly equivalent (tested):
+    # "sort" (argsort the ~30K candidates — the round-2 lowering),
+    # "scatter" (owner-table scatter-min; +0.218 ms/frame vs sort),
+    # "sort2" (cumsum-rank selection; +0.295 ms/frame vs sort),
+    # "dedup3_sort" (enqueue dedup + argsort with a static-slice top_k;
+    # -0.023 ms/frame vs sort). Env override for A/B.
     candidate_compaction: str = dataclasses.field(
         default_factory=lambda: __import__("os").environ.get(
-            "RM_RADAR_COMPACTION", "sort"
+            "RM_RADAR_COMPACTION", "dedup3_topk"
         )
     )
     # Depth-image ring layout: "stacked" keeps one [Q, H, W] array whose
@@ -174,7 +175,9 @@ class LocatorConfig:
     # concatenate = 16 MB of HBM writes); "tuple" stores Q separate [H, W]
     # leaves so the roll is pure pytree re-binding — pass-through leaves
     # alias donated inputs instead of being copied. Bit-identical diffs
-    # (tested); env override for the on-chip A/B.
+    # (tested). Round-3 interleaved batch-8 A/B: tuple -0.009 ms/frame —
+    # a wash (the roll is already overlapped/cheap); "stacked" stays the
+    # default for layout simplicity.
     queue_layout: str = dataclasses.field(
         default_factory=lambda: __import__("os").environ.get(
             "RM_RADAR_QUEUE_LAYOUT", "stacked"

@@ -95,9 +95,13 @@ class Detector:
         # output blocks of N rows contract only their static source band
         # (~10x fewer MXU FLOPs at 2592->512; equal up to ~1e-4 of elements
         # flipping one 1/255 floor-tie step — see ops/preprocess.
-        # _banded_left). Value = block rows, 0 = dense.
+        # _banded_left). Value = block rows, 0 = dense. Default 16: the
+        # round-3 interleaved batch-8 A/B measured -0.192 ms/frame vs
+        # dense at the shipped config, and the end-to-end accuracy A/B was
+        # neutral on both eval tiers (PERF.md). RM_RADAR_LETTERBOX_BAND=0
+        # opts back into the dense lowering.
         self.letterbox_band = int(
-            os.environ.get("RM_RADAR_LETTERBOX_BAND", "0")
+            os.environ.get("RM_RADAR_LETTERBOX_BAND", "16")
         )
         self._jitted = {}
 

@@ -308,9 +308,11 @@ def _compact_from_candidates(
       so the first n_out unique keys all lie within the first Q*n_out
       sorted positions — the selection pass shrinks from the full M domain
       to a static Q*n_out slice. "dedup3_sort" keeps the argsort and
-      replaces the M-wide top_k with a sliced one; "dedup3_topk" drops the
-      argsort entirely and uses top_k(M -> Q*n_out) + top_k(Q*n_out ->
-      n_out).
+      replaces the M-wide top_k with a sliced one (measured a wash:
+      -0.023 ms/frame vs "sort"); "dedup3_topk" drops the argsort
+      entirely and uses top_k(M -> Q*n_out) + top_k(Q*n_out -> n_out) —
+      measured -0.328 ms/frame vs "sort" in the round-3 interleaved
+      batch-8 A/B at the shipped config, making it the default.
     """
     hw = diff.size
     q = pix_queue.shape[0]
