@@ -60,7 +60,7 @@ def log(*args):
 
 def bench_batch8(
     radar, images, clouds, variant, max_cars, n_frames, size_desc="armor@640",
-    weights_mode="random", background=None,
+    weights_mode="random", background=None, bucket=None,
 ) -> int:
     """8-camera batched throughput: frames/sec/chip (BASELINE.json metric).
 
@@ -100,7 +100,11 @@ def bench_batch8(
     ts_warm = jax.device_put(np.full((b,), 0.5, np.float32))
     jax.block_until_ready([imgs, clds, ts_dev, ts_warm])
     carries = radar.make_batch_tracked_state(b)
-    step = radar.batch_step(tracked=True)
+    # The armor stage runs at the workload-fit ``bucket`` while the car
+    # stage counts survivors at the full config.max_cars capacity, so
+    # n_cars > bucket below is TRUE clipping, not a full-but-exact frame.
+    bucket = bucket or radar.config.detector.max_cars
+    step = radar.batch_step(tracked=True, max_cars=bucket)
     t0 = time.perf_counter()
     if background is not None:
         # Prime the background depth model (SampleRadar::updateBackgroundCloud
@@ -158,14 +162,36 @@ def bench_batch8(
     loc = det & full.located
     trk = det & (full.track_state >= 0)
     n_det = int(det.sum())
-    n_sat = int((np.asarray(full.n_cars) >= max_cars).sum())
+    n_cars = np.asarray(full.n_cars)
+    n_clipped = int((n_cars > bucket).sum())
+    n_at_cap = int((n_cars == bucket).sum())
+    nms_car = int(np.max(np.asarray(full.nms_candidates_car)))
+    nms_armor = int(np.max(np.asarray(full.nms_candidates_armor)))
+    top_k = radar.detector.car.config.nms_top_k
     log(
         f"occupancy: detected={n_det} located={int(loc.sum())} "
         f"tracked={int(trk.sum())} "
         f"located-rate={int(loc.sum()) / max(n_det, 1):.2f} "
-        f"cameras-at-bucket-capacity={n_sat}/8 (possible clipping if >0 "
-        f"and the scene had more cars than the bucket)"
+        f"cameras-clipped={n_clipped}/8 (n_cars counted at full capacity "
+        f"{radar.config.detector.max_cars}; >0 means the bucket {bucket} "
+        f"dropped detections) cameras-at-bucket-capacity={n_at_cap}/8 "
+        f"(full but exact)"
     )
+    log(
+        f"nms saturation: max candidates car={nms_car} armor={nms_armor} "
+        f"of top_k={top_k}"
+        + (
+            " *** ALARM: top-K NMS pool saturated — semantics diverge "
+            "from all-pairs NMS; raise nms_top_k ***"
+            if max(nms_car, nms_armor) >= top_k
+            else ""
+        )
+    )
+    if n_clipped:
+        log(
+            "*** ALARM: bucket clipped detections on the headline run — "
+            "raise BENCH_BATCH_MAX_CARS or use run_stream_batch buckets ***"
+        )
     print(
         json.dumps(
             {
@@ -313,35 +339,26 @@ def main() -> int:
     )
 
     if os.environ.get("BENCH_MODE", "batch8") == "batch8":
-        # Batch mode has no bucket-escalation repair, so its armor bucket is
-        # fit to the workload's max car count (synth scenes carry <= 6 cars;
-        # the reference's dynamic batch likewise ran the actual car count,
-        # detector.cpp:208-227). Saturation telemetry below guards it:
-        # n_cars == bucket on any camera means the capacity clipped.
+        # The armor bucket is fit to the workload's max car count (synth
+        # scenes carry <= 6 cars; the reference's dynamic batch likewise ran
+        # the actual car count, detector.cpp:208-227) while the car stage
+        # probes at the full max_cars capacity — so the clipping telemetry
+        # below is unambiguous: n_cars > bucket = real dropped detections,
+        # n_cars == bucket = full but exact.
+        # Default 7: the bench scenes carry <= 6 ground-truth cars, but the
+        # shipped checkpoint's NMS yields a 7th survivor on one scene — the
+        # round-4 true-count telemetry caught bucket 6 actually clipping it
+        # (cameras-clipped=1/8). The reference never drops a detection, so
+        # the honest fixed bucket covers the detected count, not the truth.
         batch_cars = int(
             os.environ.get(
                 "BENCH_BATCH_MAX_CARS",
-                "6" if weights_mode == "synth" else str(max_cars),
+                "7" if weights_mode == "synth" else str(max_cars),
             )
         )
-        if batch_cars != max_cars:
-            import dataclasses
-
-            radar = Radar(
-                dataclasses.replace(
-                    config,
-                    detector=dataclasses.replace(
-                        config.detector, max_cars=batch_cars
-                    ),
-                ),
-                car_variant=variant,
-                armor_variant=variant,
-                car_variables=car_variables,
-                armor_variables=armor_variables,
-            )
         return bench_batch8(
             radar, images, clouds, variant, batch_cars, n_frames, size_desc,
-            weights_mode, background=background,
+            weights_mode, background=background, bucket=batch_cars,
         )
 
     buckets_env = os.environ.get("BENCH_BUCKETS", "4")

@@ -18,9 +18,29 @@ written to a robot), timestamps in float seconds.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import numpy as np
+
+
+def _env_int(name: str, default: int) -> int:
+    """Validated integer env override (one place, loud failure).
+
+    Config fields that exist for measured A/B knobs take their default from
+    the environment so ``tools/ab_batch8.py`` can flip them per-arm without
+    code changes; a malformed value raises here, at config construction,
+    instead of deep inside a constructor.
+    """
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError as e:
+        raise ValueError(
+            f"environment override {name}={raw!r} is not an integer"
+        ) from e
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,8 +68,22 @@ class DetectorConfig:
     # reference runs all-pairs NMS over all 8400 anchors (detector.cu:315-360);
     # boxes below conf_thresh are dropped there too, so restricting the
     # pairwise pass to the top-K candidates by confidence is exact whenever
-    # fewer than K anchors pass conf_thresh (always true in practice).
+    # fewer than K anchors pass conf_thresh (always true in practice). The
+    # postprocess reports the per-image above-threshold anchor count
+    # (Detections.n_candidates / RobotBatch.nms_candidates_*) so saturation
+    # — the one regime where the top-K pool diverges from the reference's
+    # all-pairs NMS — is observable instead of silent.
     nms_top_k: int = 512
+    # Banded lowering of the full-frame letterbox resample matmuls: output
+    # blocks of N rows contract only their static source band (~8x fewer
+    # MXU FLOPs at 2048->512; equal up to ~5e-4 of values flipping one
+    # 1/255 quantization-tie step — ops/preprocess._banded_left). 0 = dense.
+    # Default 16: the round-3 interleaved batch-8 A/B measured -0.192
+    # ms/frame vs dense and the end-to-end accuracy A/B was neutral on both
+    # eval tiers (PERF.md). Env override RM_RADAR_LETTERBOX_BAND for A/B.
+    letterbox_band: int = dataclasses.field(
+        default_factory=lambda: _env_int("RM_RADAR_LETTERBOX_BAND", 16)
+    )
 
     @property
     def num_anchors(self) -> int:
@@ -91,6 +125,21 @@ class RobotDetectorConfig:
     # window fall back to the full-extent path via one batch-level lax.cond
     # (results are bit-identical either way — tested). 0 disables.
     crop_window: int = 768
+    # Car-stage letterbox band lowering (see DetectorConfig.letterbox_band);
+    # forwarded to the car stage's DetectorConfig so a RobotDetector can be
+    # pinned to a lowering programmatically, not only via the environment.
+    letterbox_band: int = dataclasses.field(
+        default_factory=lambda: _env_int("RM_RADAR_LETTERBOX_BAND", 16)
+    )
+    # Per-stage NMS candidate-pool sizes. The round-4 saturation telemetry
+    # caught the car stage at 797 above-threshold anchors on the bench's own
+    # synthetic-scene workload — past the old 512 pool, i.e. the regime
+    # where the top-K approximation of the reference's all-pairs NMS
+    # (detector.cu:315-360) stops being provably exact. 1024 restores the
+    # margin (the armor stage peaked at 244; 512 keeps its 8-20 vmapped
+    # copies cheap). The bench alarms whenever a run approaches either pool.
+    car_nms_top_k: int = 1024
+    armor_nms_top_k: int = 512
 
     def car_config(self) -> DetectorConfig:
         return DetectorConfig(
@@ -101,6 +150,8 @@ class RobotDetectorConfig:
             input_width=self.input_width,
             input_height=self.input_height,
             max_detections=self.max_cars,
+            letterbox_band=self.letterbox_band,
+            nms_top_k=self.car_nms_top_k,
         )
 
     def armor_config(self) -> DetectorConfig:
@@ -112,6 +163,8 @@ class RobotDetectorConfig:
             input_width=self.armor_input_width,
             input_height=self.armor_input_height,
             max_detections=self.max_armors_per_car,
+            letterbox_band=self.letterbox_band,
+            nms_top_k=self.armor_nms_top_k,
         )
 
 

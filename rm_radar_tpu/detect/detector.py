@@ -91,18 +91,12 @@ class Detector:
             and os.environ.get("RM_RADAR_LETTERBOX_BF16", "0") == "1"
             else None
         )
-        # Banded lowering of the full-frame letterbox resample matmuls:
-        # output blocks of N rows contract only their static source band
-        # (~10x fewer MXU FLOPs at 2592->512; equal up to ~1e-4 of elements
-        # flipping one 1/255 floor-tie step — see ops/preprocess.
-        # _banded_left). Value = block rows, 0 = dense. Default 16: the
-        # round-3 interleaved batch-8 A/B measured -0.192 ms/frame vs
-        # dense at the shipped config, and the end-to-end accuracy A/B was
-        # neutral on both eval tiers (PERF.md). RM_RADAR_LETTERBOX_BAND=0
-        # opts back into the dense lowering.
-        self.letterbox_band = int(
-            os.environ.get("RM_RADAR_LETTERBOX_BAND", "16")
-        )
+        # Banded lowering of the full-frame letterbox resample matmuls —
+        # a DetectorConfig field (env default RM_RADAR_LETTERBOX_BAND,
+        # validated in configs._env_int) so it is pinnable per-Detector in
+        # code like the other measured lowerings. See
+        # configs.DetectorConfig.letterbox_band for the A/B evidence.
+        self.letterbox_band = config.letterbox_band
         self._jitted = {}
 
     def raw_forward(self, blobs: Array) -> Array:
@@ -110,7 +104,10 @@ class Detector:
         return self.model.apply(self.variables, blobs)
 
     def detect_fn(
-        self, image: Array, max_detections: int | None = None
+        self,
+        image: Array,
+        max_detections: int | None = None,
+        with_stats: bool = False,
     ) -> Detections:
         """Pure single-image path (traceable): uint8 HWC BGR -> Detections.
 
@@ -120,6 +117,10 @@ class Detector:
         transpose chain never exist. On by default (interleaved end-to-end
         A/B measured it ahead; see PERF.md); set RM_RADAR_LETTERBOX_S2D=0
         to opt out.
+
+        ``with_stats=True`` returns (Detections, n_candidates) where
+        n_candidates is the above-conf_thresh anchor count entering NMS
+        (saturation telemetry; see ops/detect_ops.postprocess).
         """
         cfg = self.config
         if self.use_letterbox_s2d and getattr(
@@ -143,6 +144,7 @@ class Detector:
             cfg.conf_thresh,
             cfg.nms_top_k,
             max_detections if max_detections is not None else cfg.max_detections,
+            with_candidate_count=with_stats,
         )
 
     def detect(self, image) -> Detections:
@@ -356,11 +358,35 @@ class RobotDetector:
         its own compiled program; the pipeline escalates to a bigger bucket
         (re-running the frame) when a smaller one saturates, so results are
         bucket-independent.
+
+        The car stage always compacts its NMS survivors at the FULL
+        ``config.max_cars`` capacity and the armor stage consumes the top
+        ``max_cars`` (bucket) of them — bit-identical detections (top-k of a
+        longer sorted prefix), but the returned ``n_cars`` is the true
+        survivor count, so ``n_cars > bucket`` unambiguously means clipping
+        (the reference's dynamic batch always ran the actual count,
+        detector.cpp:208-227) while a full-but-exact frame reads
+        ``n_cars == bucket``. Costs one slightly-longer top_k (capacity vs
+        bucket entries out of the fixed 512-candidate pool).
         """
         cfg = self.config
         if max_cars is None:
             max_cars = cfg.max_cars
-        cars = self.car.detect_fn(image, max_detections=max_cars)
+        probe_cap = max(cfg.max_cars, max_cars)
+        cars_all, car_candidates = self.car.detect_fn(
+            image, max_detections=probe_cap, with_stats=True
+        )
+        n_cars_true = cars_all.count()
+        # Top-`max_cars` by confidence: the NMS compaction is sorted by
+        # confidence (ties keep the lower pool index, like a direct
+        # max_detections=max_cars run), so this slice IS the bucket's
+        # detection set.
+        cars = Detections(
+            xywh=cars_all.xywh[:max_cars],
+            label=cars_all.label[:max_cars],
+            confidence=cars_all.confidence[:max_cars],
+            valid=cars_all.valid[:max_cars],
+        )
 
         # Fused crop + letterbox for every car slot (invalid slots produce
         # garbage blobs that are masked out of the results). When the armor
@@ -398,7 +424,7 @@ class RobotDetector:
         else:
             raw = self.armor.raw_forward(blobs)  # [max_cars, 4+classes, A]
         acfg = self.armor.config
-        armors = jax.vmap(
+        armors, armor_candidates = jax.vmap(
             lambda r, p: postprocess(
                 r,
                 p,
@@ -406,8 +432,14 @@ class RobotDetector:
                 acfg.conf_thresh,
                 acfg.nms_top_k,
                 acfg.max_detections,
+                with_candidate_count=True,
             )
         )(raw, pparams)
+        # Invalid car slots run the armor model on garbage blobs; their
+        # candidate counts are masked out of the saturation telemetry.
+        armor_candidates = jnp.max(
+            jnp.where(cars.valid, armor_candidates, 0)
+        ).astype(jnp.int32)
 
         # Armor boxes into full-image coordinates: shifted by the *float* car
         # origin, as Robot::setDetection does (robot.cpp:70-73) even though
@@ -447,7 +479,9 @@ class RobotDetector:
             location=jnp.full((r, 3), jnp.nan, jnp.float32),
             located=jnp.zeros((r,), bool),
             track_state=jnp.full((r,), int(TrackState.NONE), jnp.int32),
-            n_cars=cars.count(),
+            n_cars=n_cars_true,
+            nms_candidates_car=car_candidates.astype(jnp.int32),
+            nms_candidates_armor=armor_candidates,
         )
 
     def detect(self, image: np.ndarray) -> RobotBatch:

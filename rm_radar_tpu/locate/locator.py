@@ -34,8 +34,9 @@ jit; the Locator class is a thin host wrapper holding the latest state.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,9 @@ from ..geometry import (
 from ..types import Array, RobotBatch
 
 
-class LocatorState(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LocatorState:
     """Device-resident locator state.
 
     Besides the reference's depth-image ring (locate.cpp:200-219), the state
@@ -62,6 +65,13 @@ class LocatorState(NamedTuple):
     recovered by checking ~Q*max_points candidate points against the diff
     image instead of scanning its 1.3M pixels (a 27x smaller sort domain;
     see :func:`_compact_from_candidates`).
+
+    A registered dataclass (not a NamedTuple) so the static ``dedup3``
+    field can travel with the state as pytree *metadata*: the dedup3_*
+    compaction lowerings are exact only over queues pruned at enqueue time,
+    and recording that fact statically lets :func:`update` and
+    :func:`cluster` reject a config mismatch at trace time instead of
+    silently truncating foreground (round-3 advisor finding).
     """
 
     background: Array  # [H, W] float32, max-ever depth (mm)
@@ -73,6 +83,11 @@ class LocatorState(NamedTuple):
     frames_seen: Array  # int32 scalar
     pix_queue: Array  # [Q, P] int32 flat pixel per queued point (H*W pad)
     depth_queue: Array  # [Q, P] float32 projected depth per queued point
+    # STATIC: queues were pruned to <= 1 candidate per pixel per cloud at
+    # enqueue time (config.candidate_compaction startswith "dedup3").
+    dedup3: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 class Foreground(NamedTuple):
@@ -103,6 +118,7 @@ def make_state(config: LocatorConfig) -> LocatorState:
         depth_queue=jnp.zeros(
             (config.queue_size, config.max_points), jnp.float32
         ),
+        dedup3=config.candidate_compaction.startswith("dedup3"),
     )
 
 
@@ -185,11 +201,21 @@ def update(
     for any queued depth image, newest image winning conflicts
     (locate.cpp:200-219 resolves them by thread race; we fix newest-wins).
     """
+    dedup3 = config.candidate_compaction.startswith("dedup3")
+    if state.dedup3 != dedup3:
+        raise ValueError(
+            "LocatorState/LocatorConfig mismatch: the state's queues were "
+            f"built with dedup3={state.dedup3} but "
+            f"candidate_compaction={config.candidate_compaction!r} implies "
+            f"dedup3={dedup3}. The dedup3_* compaction lowerings are exact "
+            "only over enqueue-pruned queues — rebuild the state with "
+            "make_state(config) for this config."
+        )
     flat_idx, d, _ = _project_flat(points, calib, config)
     h, w = config.zoomed_height, config.zoomed_width
     depth = jnp.zeros((h * w + 1,), jnp.float32)
     depth = depth.at[flat_idx].max(d)
-    if config.candidate_compaction.startswith("dedup3"):
+    if dedup3:
         flat_idx, d = _dedup_cloud_candidates(flat_idx, d, depth, h * w)
     depth = depth[:-1].reshape(h, w)
     background = jnp.maximum(state.background, depth)
@@ -218,6 +244,7 @@ def update(
         frames_seen=state.frames_seen + 1,
         pix_queue=pix_queue,
         depth_queue=depth_queue,
+        dedup3=dedup3,
     )
     return new_state, diff
 
@@ -406,7 +433,9 @@ def cluster(
     diff: Array,
     calib: LidarCalib,
     config: LocatorConfig,
-    candidates: Optional[Tuple[Array, Array]] = None,
+    candidates: Optional[
+        Union["LocatorState", Tuple[Array, Array]]
+    ] = None,
 ) -> Foreground:
     """Locator::cluster: foreground pixels -> 3D points -> clusters.
 
@@ -415,11 +444,26 @@ def cluster(
     participate in search as the reference's "unclustered" candidate group
     (locate.cpp:292-295).
 
-    ``candidates``: optional (pix_queue, depth_queue) from LocatorState —
-    enables the point-driven compaction (sorts ~49K candidate points instead
-    of 1.3M pixels; identical result, tested). Without it the dense top_k
-    lowering scans the image.
+    ``candidates``: the LocatorState (preferred — its static ``dedup3``
+    flag is checked against this config at trace time, so an update/cluster
+    config mismatch fails loudly instead of truncating foreground), or a
+    bare (pix_queue, depth_queue) tuple (legacy; the caller vouches for the
+    config pairing). Either enables the point-driven compaction (sorts ~49K
+    candidate points instead of 1.3M pixels; identical result, tested).
+    Without it the dense top_k lowering scans the image.
     """
+    if isinstance(candidates, LocatorState):
+        want = config.candidate_compaction.startswith("dedup3")
+        if candidates.dedup3 != want:
+            raise ValueError(
+                "LocatorState/LocatorConfig mismatch: state queues built "
+                f"with dedup3={candidates.dedup3} but candidate_compaction="
+                f"{config.candidate_compaction!r} implies dedup3={want}; "
+                "the dedup3_* selection would silently drop foreground "
+                "pixels over un-pruned queues. Pair cluster() with the "
+                "config that built the state."
+            )
+        candidates = (candidates.pix_queue, candidates.depth_queue)
     h, w = diff.shape
     n = config.max_foreground
     # First-n foreground pixels in scan order. Lowerings, fastest first:
@@ -564,10 +608,7 @@ class Locator:
     def cluster(self) -> None:
         if self._diff is None:
             return
-        self._fg = self._cluster(
-            self._diff,
-            candidates=(self.state.pix_queue, self.state.depth_queue),
-        )
+        self._fg = self._cluster(self._diff, candidates=self.state)
 
     def search(self, robots: RobotBatch) -> RobotBatch:
         if self._fg is None:

@@ -109,13 +109,29 @@ def postprocess(
     conf_thresh: float,
     top_k: int = 512,
     max_detections: int = 32,
-) -> Detections:
+    with_candidate_count: bool = False,
+):
     """decode -> NMS -> restore to source-image coordinates, one fused jit
     region per image (batch via vmap). Equivalent to Detector::postprocess
-    (detector.cu:522-582) + restoreDetection (detector.cpp:258-268)."""
+    (detector.cu:522-582) + restoreDetection (detector.cpp:258-268).
+
+    ``with_candidate_count=True`` additionally returns the per-image count
+    of anchors whose best class score passes ``conf_thresh`` — the exact
+    population the reference's all-pairs NMS runs over (detector.cu:315-360).
+    The top-K pool here is exact only while that count stays <= ``top_k``;
+    the count makes the saturation regime observable (telemetry in
+    RobotBatch.nms_candidates_* and the bench) instead of silently
+    approximate.
+    """
     xywh, label, conf = decode(raw)
     dets = nms(
         xywh, label, conf, nms_thresh, conf_thresh, top_k, max_detections
     )
     restored = restore_boxes(dets.xywh, pparam)
-    return dets._replace(xywh=restored)
+    dets = dets._replace(xywh=restored)
+    if with_candidate_count:
+        n_candidates = jnp.sum(
+            (conf >= conf_thresh).astype(jnp.int32), axis=-1
+        )
+        return dets, n_candidates
+    return dets

@@ -205,3 +205,461 @@ def foreground_compact(
     if use_pallas:
         return foreground_compact_pallas(diff, n_out)
     return foreground_compact_topk(diff, n_out)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 production re-audit kernels (PERF.md "re-audit plan" #1 and #2).
+# Both ship BEHIND FLAGS (default off): the XLA lowerings they challenge won
+# every round-3 A/B, and these exist so the production-hardware re-audit is
+# a flag flip with equality tests already green (VERDICT r3 #3).
+# ---------------------------------------------------------------------------
+
+
+def _crop_s2d_grid_params(image, boxes_xywh, dst_height, dst_width, window):
+    """XLA-side (traced) per-car sampling parameters for the fused
+    crop+letterbox kernel. Mirrors ops/preprocess.letterbox_crop_s2d's box
+    handling exactly (int truncation + clamping, reference detector.cpp:
+    417-424 crop semantics; sampling per detector.cu:53-79)."""
+    from ..geometry import compute_pre_param, letterbox_padding, round_half_away
+
+    src_h, src_w = int(image.shape[0]), int(image.shape[1])
+    win_h = min(-(-min(window, src_h) // 8) * 8 + 8, src_h)
+    win_w = min(-(-min(window, src_w) // 128) * 128 + 128, src_w)
+
+    def per_car(box):
+        x0 = jnp.clip(box[0].astype(jnp.int32), 0, src_w - 1)
+        y0 = jnp.clip(box[1].astype(jnp.int32), 0, src_h - 1)
+        cw = jnp.clip(box[2].astype(jnp.int32), 1, src_w - x0)
+        ch = jnp.clip(box[3].astype(jnp.int32), 1, src_h - y0)
+        cwf, chf = cw.astype(jnp.float32), ch.astype(jnp.float32)
+        pparam = compute_pre_param(chf, cwf, dst_height, dst_width)
+        rh = round_half_away(chf / pparam.ratio).astype(jnp.int32)
+        rw = round_half_away(cwf / pparam.ratio).astype(jnp.int32)
+        top, _, left, _ = letterbox_padding(pparam)
+
+        # Window origin: sublane-aligned rows, lane-aligned (x128) pixels so
+        # the uint8 [H, W*3] view's DMA lane start (3*xstart) is 128-aligned.
+        ystart = jnp.clip(y0 - y0 % 8, 0, src_h - win_h)
+        xstart = jnp.clip(x0 - x0 % 128, 0, src_w - win_w)
+        fits = (y0 + ch <= ystart + win_h) & (x0 + cw <= xstart + win_w)
+
+        oy = jnp.arange(dst_height, dtype=jnp.int32) - top
+        y_valid = (oy >= 0) & (oy < rh)
+        ys = jnp.clip(
+            oy.astype(jnp.float32) * (chf / rh.astype(jnp.float32)),
+            0.0,
+            chf - 1.0,
+        )
+        ylow = jnp.floor(ys).astype(jnp.int32)
+        yhigh = jnp.minimum(ylow + 1, ch - 1)
+        yfrac = ys - ylow.astype(jnp.float32)
+
+        ox = jnp.arange(dst_width, dtype=jnp.int32) - left
+        x_valid = (ox >= 0) & (ox < rw)
+        xs = jnp.clip(
+            ox.astype(jnp.float32) * (cwf / rw.astype(jnp.float32)),
+            0.0,
+            cwf - 1.0,
+        )
+        xlow = jnp.floor(xs).astype(jnp.int32)
+        xhigh = jnp.minimum(xlow + 1, cw - 1)
+        xfrac = xs - xlow.astype(jnp.float32)
+
+        # Row params in the kernel's parity-major [2, H2] layout
+        # (s2d row i of parity p <- blob row 2*i + p).
+        def par(v):
+            return jnp.stack([v[0::2], v[1::2]], axis=0)
+
+        # Column params in the kernel's j layout: j = o*6 + q*3 + c_rgb for
+        # blob column x = 2*o + q; source lane = 3*(x_src - xstart) +
+        # (2 - c_rgb) — the BGR->RGB flip folded in.
+        j = jnp.arange((dst_width // 2) * 6, dtype=jnp.int32)
+        c = j % 3
+        x_of_j = 2 * (j // 6) + (j // 3) % 2
+        jxlow = 3 * (xlow[x_of_j] + x0 - xstart) + (2 - c)
+        jxhigh = 3 * (xhigh[x_of_j] + x0 - xstart) + (2 - c)
+        jxfrac = xfrac[x_of_j]
+        jxvalid = x_valid[x_of_j].astype(jnp.float32)
+
+        return dict(
+            pparam=pparam,
+            fits=fits,
+            ystart=ystart,
+            xstart3=3 * xstart,
+            ylow=par(ylow + y0 - ystart),
+            yhigh=par(yhigh + y0 - ystart),
+            yfrac=par(yfrac),
+            yvalid=par(y_valid.astype(jnp.float32)),
+            jxlow=jxlow,
+            jxhigh=jxhigh,
+            jxfrac=jxfrac,
+            jxvalid=jxvalid,
+        )
+
+    out = jax.vmap(per_car)(boxes_xywh)
+    return out, win_h, win_w
+
+
+def _crop_s2d_kernel(
+    ystart_ref,
+    xstart3_ref,
+    ylow_ref,
+    yhigh_ref,
+    yfrac_ref,
+    yvalid_ref,
+    jxlow_ref,
+    jxhigh_ref,
+    jxfrac_ref,
+    jxvalid_ref,
+    img_ref,
+    out_ref,
+    win_ref,
+    rx_ref,
+    rows_ref,
+    sem_ref,
+    *,
+    blk,
+    win_w3,
+    pad_value,
+    mm_dtype,
+):
+    """One grid step: 2 * ``blk`` blob rows of one car's s2d blob.
+
+    At each car's first block the kernel DMAs the car's source window
+    (uint8, [win_h, win_w3] of the [H, W*3] frame view) HBM->VMEM and builds
+    the column resample matrix rx [win_w3, JW] in VMEM from the prefetched
+    per-column (low lane, high lane, frac) vectors — one-hot rows built by
+    iota comparison, so the column resample runs on the MXU with no gather
+    anywhere. Each block then assembles its 2*blk bilinear row lerps from
+    dynamic sublane slices of the window and fires two [blk, win_w3] x
+    [win_w3, JW] matmuls (one per row parity), landing output directly in
+    the parity-major s2d layout.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _setup():
+        dma = pltpu.make_async_copy(
+            img_ref.at[
+                pl.ds(ystart_ref[0], win_ref.shape[0]),
+                pl.ds(xstart3_ref[0], win_w3),
+            ],
+            win_ref,
+            sem_ref,
+        )
+        dma.start()
+        jw = rx_ref.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (win_w3, jw), 0)
+        jl = jxlow_ref[:, :]  # [1, JW]
+        jh = jxhigh_ref[:, :]
+        jf = jxfrac_ref[:, :]
+        rx_ref[:, :] = (
+            (lane == jl).astype(jnp.float32) * (1.0 - jf)
+            + (lane == jh).astype(jnp.float32) * jf
+        ).astype(mm_dtype)
+        dma.wait()
+
+    # Bilinear row lerps: dynamic sublane slices of the window (static
+    # unroll — Mosaic has no batched dynamic indexing, and 4*blk one-row
+    # slices per block are cheap). Row params are whole-car SMEM arrays;
+    # the block's rows start at b*blk.
+    for p in (0, 1):
+        for t in range(blk):
+            row = b * blk + t
+            lo_r = ylow_ref[0, p, row]
+            hi_r = yhigh_ref[0, p, row]
+            f = yfrac_ref[0, p, row]
+            lo = win_ref[pl.ds(lo_r, 1), :].astype(jnp.float32)
+            hi = win_ref[pl.ds(hi_r, 1), :].astype(jnp.float32)
+            rows_ref[p * blk + t : p * blk + t + 1, :] = (
+                lo * (1.0 - f) + hi * f
+            ).astype(mm_dtype)
+
+    jxv = jxvalid_ref[:, :]  # [1, JW]
+    for p in (0, 1):
+        res = jnp.dot(
+            rows_ref[p * blk : (p + 1) * blk, :],
+            rx_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )
+        res = jnp.floor(jnp.clip(res, 0.0, 255.0))
+        yv = yvalid_ref[0, p]  # [blk, 1] f32
+        res = jnp.where((yv > 0.0) & (jxv > 0.0), res, pad_value)
+        out_ref[0, p, :, :] = res * (1.0 / 255.0)
+
+
+def crop_letterbox_s2d_pallas(
+    image: Array,
+    boxes_xywh: Array,
+    dst_height: int,
+    dst_width: int,
+    pad_value: float = 128.0,
+    window: int = 768,
+    matmul_dtype=None,
+    block_rows: int = 8,
+    interpret: bool | None = None,
+):
+    """Band-DMA fused crop+letterbox for all car slots of ONE frame,
+    emitting s2d blobs (PERF.md re-audit kernel #1).
+
+    Replaces the per-car XLA crop einsums that contract over the full
+    2048/2592 image extents (ops/preprocess.letterbox_crop_s2d, vmapped in
+    detect/detector._crop_batch): here each car's cost is one ~2 MB uint8
+    window DMA plus matmuls over the window only. f32 results are
+    bit-identical to ``vmap(letterbox_crop_s2d)`` whenever every crop fits
+    the aligned ``window`` (the caller guards with the same fits-cond as
+    the windowed XLA path); with bfloat16 operands the error bound is the
+    same ~one-uint8-level as the XLA bf16 path (tested).
+
+    Returns (blob [R, dst_h/2, dst_w/2, 12] f32, PreParams with leading R).
+    Reference semantics: crop detector.cpp:417-424, bilinear/pad/blob
+    detector.cu:40-171.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    src_h, src_w = int(image.shape[0]), int(image.shape[1])
+    r = int(boxes_xywh.shape[0])
+    h2, w2 = dst_height // 2, dst_width // 2
+    jw = w2 * 6
+    blk = min(block_rows, h2)
+    assert h2 % blk == 0, (h2, blk)
+    nblk = h2 // blk
+    mm_dtype = matmul_dtype or jnp.float32
+
+    params, win_h, win_w = _crop_s2d_grid_params(
+        image, boxes_xywh, dst_height, dst_width, window
+    )
+    win_w3 = win_w * 3
+    img2d = image.reshape(src_h, src_w * 3)
+
+    kernel = functools.partial(
+        _crop_s2d_kernel,
+        blk=blk,
+        win_w3=win_w3,
+        pad_value=pad_value,
+        mm_dtype=mm_dtype,
+    )
+    smem = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda r_, b_: (r_,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.SMEM,
+    )
+    vrow = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda r_, b_: (r_,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(r, nblk),
+        in_specs=[
+            smem((r,)),  # ystart
+            smem((r,)),  # xstart3
+            smem((r, 2, h2)),  # ylow (window-relative)
+            smem((r, 2, h2)),  # yhigh
+            smem((r, 2, h2)),  # yfrac
+            # yvalid as a VMEM [blk, 1]-per-block plane (vector reads are
+            # not legal from SMEM).
+            pl.BlockSpec(
+                (1, 2, blk, 1),
+                lambda r_, b_: (r_, 0, b_, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vrow((r, jw)),  # jxlow
+            vrow((r, jw)),  # jxhigh
+            vrow((r, jw)),  # jxfrac
+            vrow((r, jw)),  # jxvalid
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full frame, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, blk, jw),
+            lambda r_, b_: (r_, 0, b_, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, 2, h2, jw), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, win_w3), jnp.uint8),
+            pltpu.VMEM((win_w3, jw), mm_dtype),
+            pltpu.VMEM((2 * blk, win_w3), mm_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        params["ystart"],
+        params["xstart3"],
+        params["ylow"],
+        params["yhigh"],
+        params["yfrac"],
+        params["yvalid"].astype(jnp.float32)[..., None],
+        params["jxlow"],
+        params["jxhigh"],
+        params["jxfrac"],
+        params["jxvalid"],
+        img2d,
+    )
+    # [R, 2, H2, W2*6] -> [R, H2, W2, 12] with (p, q, c) channel order:
+    # free minor split per parity plane + channel concat (no transpose).
+    blob = jnp.concatenate(
+        [out[:, 0].reshape(r, h2, w2, 6), out[:, 1].reshape(r, h2, w2, 6)],
+        axis=-1,
+    )
+    return blob, params["pparam"], params["fits"]
+
+
+def _compact_rows_kernel(
+    key_ref,
+    val_ref,
+    okey_ref,
+    oval_ref,
+    count_ref,
+    *,
+    n_out,
+    chunk,
+):
+    """One grid step: scan one [1, chunk] slice of one queue row's candidate
+    keys (pixel-sorted, hw sentinel for non-foreground) and append the
+    foreground entries to the row's SMEM output, stopping at ``n_out``.
+
+    Rows are pixel-sorted (enqueue dedup, locator._dedup_cloud_candidates),
+    so position order == key order and the first ``n_out`` emitted per row
+    are the row's smallest foreground pixels — which provably contain every
+    member of the global first-``n_out``-unique selection (each row carries
+    <= 1 candidate per pixel). The vector part is one mask+count per chunk;
+    the scalar emission loop runs only for chunks that contain foreground
+    and stops once the row's quota is filled.
+    """
+    import jax.experimental.pallas as pl
+
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        count_ref[0] = 0
+
+    keys = key_ref[:, :]  # [1, chunk] i32
+    vals = val_ref[:, :]
+    sentinel = jnp.int32(2**30)
+    mask = keys < sentinel
+    n = jnp.sum(mask.astype(jnp.int32))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    @pl.when((n > 0) & (count_ref[0] < n_out))
+    def _scan():
+        def body(k, consumed_col):
+            live = mask & (cols > consumed_col)
+            col = jnp.min(jnp.where(live, cols, chunk))
+            key_v = jnp.sum(jnp.where(cols == col, keys, 0))
+            val_v = jnp.sum(jnp.where(cols == col, vals, 0.0))
+
+            @pl.when(count_ref[0] < n_out)
+            def _emit():
+                cur = count_ref[0]
+                okey_ref[cur] = key_v
+                oval_ref[cur] = val_v
+                count_ref[0] = cur + 1
+
+            return col
+
+        jax.lax.fori_loop(0, n, body, jnp.int32(-1))
+
+
+def compact_candidates_pallas(
+    diff: Array,
+    pix_queue: Array,
+    depth_queue: Array,
+    n_out: int,
+    chunk: int = 512,
+    interpret: bool | None = None,
+) -> tuple[Array, Array]:
+    """Pallas lowering of the dedup3 candidate compaction (PERF.md re-audit
+    kernel #2): the M-wide first top_k pass (M = Q * max_points keys) is
+    replaced by a per-row scan-and-append kernel emitting each queue row's
+    first ``n_out`` foreground candidates; the selection tail (small top_k,
+    dedup-first, final top_k) stays in XLA over Q*n_out keys.
+
+    EXACTLY equals locator._compact_from_candidates(method="dedup3_topk")
+    — and like it REQUIRES enqueue-pruned queues (<= 1 candidate per pixel
+    per row, pixel-sorted): per-row quota exactness is proven in the kernel
+    docstring; no runtime fallback branch, so the lowering is safe under
+    vmap (batch serving) where a lax.cond would execute both branches.
+    Reference op being replaced: foreground extraction, locate.cpp:237-249.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hw = diff.size
+    q, p = pix_queue.shape
+    assert p % chunk == 0, (p, chunk)
+    assert hw < 2**30  # kernel sentinel must exceed any pixel key
+    flat = diff.reshape(-1)
+    safe = jnp.minimum(pix_queue, hw - 1)
+    is_fg = (pix_queue < hw) & (depth_queue != 0.0) & (
+        flat[safe] == depth_queue
+    )
+    key = jnp.where(is_fg, pix_queue, jnp.int32(2**30))
+
+    kernel = functools.partial(
+        _compact_rows_kernel, n_out=n_out, chunk=chunk
+    )
+    okey, oval, counts = pl.pallas_call(
+        kernel,
+        grid=(q, p // chunk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk), lambda q_, c_: (q_, c_), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda q_, c_: (q_, c_), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, n_out), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, n_out), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, 1), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, n_out), jnp.int32),
+            jax.ShapeDtypeStruct((q, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((q, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(key, depth_queue)
+
+    # Slots past each row's count are uninitialized; mask, then run the
+    # dedup3_topk selection tail over the Q*n_out survivors (instead of M).
+    live = (
+        jnp.arange(n_out, dtype=jnp.int32)[None, :] < counts
+    )
+    okey = jnp.where(live, okey, hw).reshape(-1)
+    oval = jnp.where(live, oval, 0.0).reshape(-1)
+    m = okey.shape[0]
+    k = min(n_out, m)
+    t = min(q * k, m)
+    neg_t, pos_t = jax.lax.top_k(-okey, t)
+    skey = -neg_t
+    first = jnp.concatenate([jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+    keep = first & (skey < hw)
+    key2 = jnp.where(keep, skey, hw)
+    neg, pos = jax.lax.top_k(-key2, k)
+    vals = oval[pos_t[pos]]
+    idx = -neg
+    valid = idx < hw
+    pad = n_out - k
+    idx = jnp.pad(
+        jnp.where(valid, idx, -1).astype(jnp.int32), (0, pad),
+        constant_values=-1,
+    )
+    val = jnp.pad(jnp.where(valid, vals, 0.0), (0, pad))
+    return idx, val

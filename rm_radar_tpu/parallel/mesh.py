@@ -4,9 +4,11 @@ The reference is strictly single-GPU (cudaSetDevice(0), detector.cpp:61); its
 only concurrency is per-image CUDA streams. The TPU-native scale axis is the
 camera/frame batch: shard it over a 1-D ``data`` mesh with NamedSharding and
 let XLA place per-camera pipelines on separate chips — no NCCL, no streams,
-just sharded jit. A second ``model`` axis is provisioned for tensor-sharding
-large detector variants (convolution channel sharding) and for the training
-step's optional model parallelism.
+just sharded jit. The second ``model`` axis carries output-channel tensor
+parallelism for the training step (train.train_step.shard_train_state /
+make_sharded_train_step(model_parallel=True)) — for detector variants too
+large to replicate per chip; exercised by the driver dryrun on a
+(data, model) mesh and equivalence-tested on the CPU mesh.
 """
 
 from __future__ import annotations

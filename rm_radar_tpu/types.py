@@ -181,11 +181,22 @@ class RobotBatch(NamedTuple):
     located: Array  # bool    [R]
     # Track state (reference robot.h:119-127)
     track_state: Array  # int32 [R], TrackState values, NONE=-1
-    # Raw car-NMS survivor count (pre-dedup), int32 scalar. When this equals
-    # the batch capacity the armor bucket saturated and the frame should be
-    # re-run at a bigger bucket (pipeline.run_stream repair); the reference's
-    # dynamic batch sizes itself on exactly this count (detector.cpp:417-424).
+    # TRUE car-NMS survivor count (pre-dedup), int32 scalar, counted at the
+    # detector's full ``config.max_cars`` capacity — NOT capped at the armor
+    # bucket the frame ran in. ``n_cars > bucket`` therefore means detections
+    # were actually clipped and the frame must be repaired at a bigger bucket
+    # (pipeline.run_stream / run_stream_batch); ``n_cars == bucket`` is a
+    # full-but-exact frame. The reference's dynamic batch sizes itself on
+    # exactly this count (detector.cpp:417-424).
     n_cars: Array = np.zeros((), np.int32)
+    # NMS-saturation telemetry: per-image anchors above conf_thresh entering
+    # NMS (car stage, and the max over car slots for the armor stage). The
+    # top-K NMS pool (configs.nms_top_k) is exact only while these stay
+    # under top_k — the bench and stream stats alarm when they approach it
+    # (the regime where semantics would diverge from the reference's
+    # all-pairs NMS, detector.cu:315-360).
+    nms_candidates_car: Array = np.zeros((), np.int32)
+    nms_candidates_armor: Array = np.zeros((), np.int32)
 
     @property
     def capacity(self) -> int:

@@ -65,10 +65,32 @@ class StageTimer:
 
 @contextlib.contextmanager
 def maybe_profile(trace_dir: str | None):
-    """Optionally wrap a block in a jax.profiler trace."""
+    """Optionally wrap a block in a jax.profiler trace.
+
+    Guarded on tunneled/plugin backends (platform "axon"): jax.profiler's
+    trace is NOT supported there — it kills the backend mid-run with
+    FAILED_PRECONDITION and the tunnel needs minutes to recover (measured;
+    see PERF.md "xprof unusable"). On such backends this raises instead of
+    crashing the device; per-op evidence comes from the DCE-ablation tool
+    (tools/profile_batch8.py) and run_stream's frame_log. Set
+    RM_RADAR_FORCE_PROFILER=1 to override (e.g. a future plugin version).
+    """
     if trace_dir:
+        import os
+
+        import jax
         import jax.profiler
 
+        platform = jax.devices()[0].platform
+        if platform == "axon" and os.environ.get(
+            "RM_RADAR_FORCE_PROFILER", "0"
+        ) != "1":
+            raise RuntimeError(
+                "jax.profiler.trace crashes the tunneled 'axon' backend "
+                "(FAILED_PRECONDITION, minutes of recovery — PERF.md). Use "
+                "tools/profile_batch8.py (DCE ablation) or run_stream "
+                "frame_log instead, or RM_RADAR_FORCE_PROFILER=1 to insist."
+            )
         with jax.profiler.trace(trace_dir):
             yield
     else:

@@ -4,6 +4,7 @@ diff behavior, two synthetic blobs -> two clusters, and bbox search.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rm_radar_tpu.configs import LocatorConfig
@@ -350,3 +351,34 @@ def test_candidate_compaction_capacity_exceeds_candidates():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=f"{name} {method}"
             )
+
+
+def test_dedup3_state_config_mismatch_fails_loudly():
+    """The dedup3_* selection is exact only over enqueue-pruned queues; a
+    state built under one compaction config must be rejected (at trace time,
+    via LocatorState's static dedup3 flag) by update/cluster under a
+    mismatched config instead of silently truncating foreground (round-3
+    advisor finding)."""
+    import dataclasses
+
+    import pytest
+
+    cfg_d = dataclasses.replace(CFG, candidate_compaction="dedup3_topk")
+    cfg_s = dataclasses.replace(CFG, candidate_compaction="sort")
+    state_d = loc.make_state(cfg_d)
+    state_s = loc.make_state(cfg_s)
+    assert state_d.dedup3 and not state_s.dedup3
+
+    pts = _cloud([_point_at_pixel(0.02, 0.03, 5.0)])
+    # Matched configs work.
+    state_d2, diff = loc.update(state_d, pts, CAL, cfg_d)
+    loc.cluster(diff, CAL, cfg_d, candidates=state_d2)
+    # Mismatches raise, jitted or not (the flag is static metadata).
+    with pytest.raises(ValueError, match="mismatch"):
+        loc.update(state_d, pts, CAL, cfg_s)
+    with pytest.raises(ValueError, match="mismatch"):
+        loc.cluster(diff, CAL, cfg_s, candidates=state_d2)
+    with pytest.raises(ValueError, match="mismatch"):
+        jax.jit(
+            lambda s, d: loc.cluster(d, CAL, cfg_s, candidates=s)
+        )(state_d2, diff)

@@ -77,6 +77,69 @@ def test_sharded_train_step_runs_and_descends():
     assert int(state.step) == 3
 
 
+@pytest.mark.slow
+def test_model_parallel_step_matches_replicated():
+    """Channel tensor-parallelism over MODEL_AXIS (shard_train_state +
+    model_parallel=True) must produce the same step as the replicated
+    data-parallel step, up to f32 reduction-order rounding — the partitioned
+    convolutions are a re-bracketing of the same math."""
+    from rm_radar_tpu.parallel.mesh import MODEL_AXIS
+    from rm_radar_tpu.train.train_step import shard_train_state
+
+    model, cfg = create_model(variant="n", num_classes=3, input_size=(64, 64))
+    variables = init_params(model, jax.random.PRNGKey(0))
+    tx = optax.adamw(1e-3)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)).astype(np.float32))
+    targets = DetectionTargets(
+        xywh=jnp.tile(jnp.asarray([[8.0, 8.0, 30.0, 30.0]]), (4, 2, 1)),
+        label=jnp.zeros((4, 2), jnp.int32),
+        valid=jnp.ones((4, 2), bool),
+    )
+
+    # Reference: pure data-parallel on a (4, 1) mesh.
+    mesh_dp = make_mesh(n_data=4, devices=jax.devices()[:4])
+    state_dp = create_train_state(model, variables, tx)
+    with mesh_dp:
+        state_dp = replicate(mesh_dp, state_dp)
+        step = make_sharded_train_step(model, tx, mesh_dp)
+        state_dp, m_dp = step(
+            state_dp, shard_batch(mesh_dp, images), shard_batch(mesh_dp, targets)
+        )
+
+    # Tensor-parallel: (2, 2) mesh, conv out-channels sharded over model.
+    mesh_tp = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    assert mesh_tp.shape[MODEL_AXIS] == 2
+    state_tp = create_train_state(model, variables, tx)
+    with mesh_tp:
+        state_tp = shard_train_state(state_tp, mesh_tp)
+        # The sharding rule actually sharded something (not a no-op test).
+        sharded_leaves = [
+            x
+            for x in jax.tree_util.tree_leaves(state_tp.params)
+            if getattr(x.sharding, "spec", None)
+            and any(s == MODEL_AXIS for s in x.sharding.spec)
+        ]
+        assert sharded_leaves, "no parameter was model-sharded"
+        step_tp = make_sharded_train_step(
+            model, tx, mesh_tp, model_parallel=True
+        )
+        state_tp, m_tp = step_tp(
+            state_tp, shard_batch(mesh_tp, images), shard_batch(mesh_tp, targets)
+        )
+
+    assert np.isfinite(float(m_tp["loss"]))
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_dp["loss"]), rtol=1e-4
+    )
+    # Parameters after one step agree leaf-for-leaf.
+    flat_dp = jax.tree_util.tree_leaves(jax.device_get(state_dp.params))
+    flat_tp = jax.tree_util.tree_leaves(jax.device_get(state_tp.params))
+    for a, b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=2e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Accuracy evaluation on the REAL match frames bundled with the reference.
+
+The reference's accuracy claim is real match data (reference README.md:25:
+83.66% season marking accuracy) and its assets/images/0..9.jpg are real
+2592x2048 arena frames (samples/main.cpp:74-85). This tool evaluates the
+trained cascade against the hand-annotated ground truth in
+assets/labels/real_frames.json (70 car boxes over 10 frames; 50 with legible
+number-plate labels; one ambiguous cluster per frame marked ignore) and
+reports car precision/recall, mAP@.5 / mAP@[.5:.95], per-class label
+accuracy on the labeled subset, and team (color) accuracy.
+
+These frames are from a different camera/arena than the synthetic training
+distribution — the honest real-domain number, not a tuned benchmark. The
+regression gate lives in tests/test_accuracy_real.py.
+
+Usage: python tools/eval_real.py [--cpu] [--variant m] [--car-input 512]
+       [--armor-size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eval_synth import iou_xywh  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BLUE = {0, 1, 2, 3, 4, 10}
+
+
+def load_frames(image_dir: str):
+    from PIL import Image
+
+    labels = json.load(
+        open(os.path.join(REPO, "assets/labels/real_frames.json"))
+    )
+    frames = []
+    for name, boxes in sorted(labels["frames"].items()):
+        path = os.path.join(image_dir, name)
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        bgr = np.ascontiguousarray(rgb[..., ::-1])  # cv::imread order
+        frames.append((name, bgr, boxes))
+    return frames
+
+
+def evaluate(detector, frames, iou_thresh: float = 0.5) -> dict:
+    """Greedy confidence-ordered matching per frame with ignore-region
+    semantics (a detection matching only an ignore box is dropped from both
+    TP and FP counts, the standard crowd-region convention)."""
+    import jax
+
+    per_frame = []
+    for name, image, boxes in frames:
+        host = jax.device_get(detector.detect(image))
+        dets = [
+            (
+                float(host.confidence[i]),
+                np.asarray(host.rect[i], np.float64),
+                bool(host.detected[i]),
+                int(host.label[i]),
+            )
+            for i in range(len(host.valid))
+            if host.valid[i]
+        ]
+        gts = [b for b in boxes if not b["ignore"]]
+        igns = [b for b in boxes if b["ignore"]]
+        per_frame.append((name, dets, gts, igns))
+
+    n_gt = sum(len(g) for _, _, g, _ in per_frame)
+    rows = []  # (conf, frame_idx, det_idx)
+    for f, (_, dets, _, _) in enumerate(per_frame):
+        rows.extend((conf, f, i) for i, (conf, *_r) in enumerate(dets))
+    rows.sort(key=lambda r: -r[0])
+
+    def match_all(iou_t: float):
+        """-> (tp flags per row, ignored flags per row, match info)."""
+        used = [np.zeros(len(g), bool) for _, _, g, _ in per_frame]
+        tp = np.zeros(len(rows))
+        ignored = np.zeros(len(rows), bool)
+        matches = []  # (frame, det_idx, gt)
+        for k, (_c, f, i) in enumerate(rows):
+            rect = per_frame[f][1][i][1]
+            gts = per_frame[f][2]
+            best_j, best_v = -1, iou_t
+            for j, gt in enumerate(gts):
+                if used[f][j]:
+                    continue
+                v = iou_xywh(rect, gt["xywh"])
+                if v >= best_v:
+                    best_j, best_v = j, v
+            if best_j >= 0:
+                used[f][best_j] = True
+                tp[k] = 1.0
+                matches.append((f, i, gts[best_j]))
+                continue
+            for ig in per_frame[f][3]:
+                if iou_xywh(rect, ig["xywh"]) >= iou_t:
+                    ignored[k] = True
+                    break
+        return tp, ignored, matches
+
+    def ap(iou_t: float) -> float:
+        tp, ignored, _ = match_all(iou_t)
+        keep = ~ignored
+        tpk = tp[keep]
+        if n_gt == 0 or len(tpk) == 0:
+            return float("nan")
+        ctp = np.cumsum(tpk)
+        recall = ctp / n_gt
+        precision = ctp / (np.arange(len(tpk)) + 1)
+        prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+        r_prev = 0.0
+        out = 0.0
+        for k in range(len(tpk)):
+            out += (recall[k] - r_prev) * prec_env[k]
+            r_prev = recall[k]
+        return float(out)
+
+    tp, ignored, matches = match_all(iou_thresh)
+    n_det = int((~ignored).sum())
+    n_tp = int(tp[~ignored].sum())
+    label_hits = label_total = 0
+    team_hits = team_total = 0
+    detected_flags = 0
+    for f, i, gt in matches:
+        conf, rect, det_flag, label = per_frame[f][1][i]
+        detected_flags += bool(det_flag)
+        if gt["label"] is not None:
+            label_total += 1
+            label_hits += int(det_flag and label == gt["label"])
+        if gt["team"] is not None:
+            team_total += 1
+            pred_blue = label in BLUE
+            team_hits += int(
+                det_flag and pred_blue == (gt["team"] == "blue")
+            )
+    thresholds = np.arange(0.5, 0.951, 0.05)
+    aps = [ap(float(t)) for t in thresholds]
+    return {
+        "n_gt_cars": n_gt,
+        "n_detections": n_det,
+        "car_precision": round(n_tp / max(n_det, 1), 4),
+        "car_recall": round(n_tp / max(n_gt, 1), 4),
+        "armor_detected_rate": round(n_tp and detected_flags / n_tp, 4),
+        "label_accuracy": round(label_hits / max(label_total, 1), 4),
+        "n_labeled_matched": label_total,
+        "team_accuracy": round(team_hits / max(team_total, 1), 4),
+        "n_team_matched": team_total,
+        "map_50": round(aps[0], 4),
+        "map_50_95": round(float(np.mean(aps)), 4),
+    }
+
+
+def main() -> int:
+    ap_ = argparse.ArgumentParser()
+    ap_.add_argument("--variant", default="m")
+    ap_.add_argument("--car-input", type=int, default=512)
+    ap_.add_argument("--armor-size", type=int, default=256)
+    ap_.add_argument("--max-cars", type=int, default=8)
+    ap_.add_argument("--weights", default=os.path.join(REPO, "assets/models"))
+    ap_.add_argument(
+        "--images", default="/root/reference/assets/images"
+    )
+    ap_.add_argument("--conf", type=float, default=None,
+                     help="override car conf_thresh")
+    ap_.add_argument("--cpu", action="store_true")
+    args = ap_.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/rm_radar_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rm_radar_tpu.configs import RobotDetectorConfig
+    from rm_radar_tpu.detect.detector import RobotDetector
+    from rm_radar_tpu.models.weights import load_variables
+
+    car_suffix = "" if args.car_input == 640 else f"_{args.car_input}"
+    armor_suffix = "" if args.armor_size == 640 else f"_{args.armor_size}"
+    car_v = load_variables(
+        os.path.join(args.weights, f"car_synth_{args.variant}{car_suffix}.npz")
+    )
+    armor_v = load_variables(
+        os.path.join(
+            args.weights, f"armor_synth_{args.variant}{armor_suffix}.npz"
+        )
+    )
+    cfg = RobotDetectorConfig(
+        max_cars=args.max_cars,
+        input_width=args.car_input,
+        input_height=args.car_input,
+        armor_input_width=args.armor_size,
+        armor_input_height=args.armor_size,
+    )
+    if args.conf is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, car_conf_thresh=args.conf)
+    det = RobotDetector(
+        cfg,
+        car_variant=args.variant,
+        armor_variant=args.variant,
+        car_variables=car_v,
+        armor_variables=armor_v,
+    )
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    frames = load_frames(args.images)
+    metrics = evaluate(det, frames)
+    print(json.dumps(metrics, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -86,7 +86,7 @@ def build_variants(radar, names):
         robots = detect_one(image)
         ls, diff = locate_mod.update(ls, points, loc.calib, lc)
         fg = locate_mod.cluster(
-            diff, loc.calib, lc, candidates=(ls.pix_queue, ls.depth_queue)
+            diff, loc.calib, lc, candidates=ls
         )
         return ls, _checksum_tree(robots) + _checksum_tree(
             (fg.points, fg.cluster)
@@ -98,7 +98,7 @@ def build_variants(radar, names):
         robots = detect_one(image)
         ls, diff = locate_mod.update(ls, points, loc.calib, lc0)
         fg = locate_mod.cluster(
-            diff, loc.calib, lc0, candidates=(ls.pix_queue, ls.depth_queue)
+            diff, loc.calib, lc0, candidates=ls
         )
         return ls, _checksum_tree(robots) + _checksum_tree(
             (fg.points, fg.cluster)
