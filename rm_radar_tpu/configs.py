@@ -217,7 +217,11 @@ class LocatorConfig:
     # "scatter" (owner-table scatter-min; +0.218 ms/frame vs sort),
     # "sort2" (cumsum-rank selection; +0.295 ms/frame vs sort),
     # "dedup3_sort" (enqueue dedup + argsort with a static-slice top_k;
-    # -0.023 ms/frame vs sort). Env override for A/B.
+    # -0.023 ms/frame vs sort), "dedup3_pallas" (the round-4 Pallas
+    # pre-compactor, ops/pallas_kernels.compact_candidates_pallas: a
+    # per-row scan-and-append kernel replaces the M-wide first top_k;
+    # exactly equals dedup3_topk, vmap-safe, measured via the same A/B
+    # harness). Env override for A/B.
     candidate_compaction: str = dataclasses.field(
         default_factory=lambda: __import__("os").environ.get(
             "RM_RADAR_COMPACTION", "dedup3_topk"

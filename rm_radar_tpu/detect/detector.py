@@ -316,6 +316,47 @@ def _crop_batch(image: Array, cars: Detections, crop_fn, window: int):
     return jax.lax.cond(fits, windowed_path, full_path, cars.xywh)
 
 
+def _crop_batch_pallas(
+    image: Array, cars: Detections, dst_h: int, dst_w: int, window: int,
+    mm_dtype,
+):
+    """Band-DMA fused crop+letterbox for all car slots via the Pallas
+    kernel (ops/pallas_kernels.crop_letterbox_s2d_pallas — PERF.md re-audit
+    kernel #1), with the same fits-cond fallback structure as
+    :func:`_crop_batch`: crops exceeding the aligned window re-run the
+    full-extent XLA path, so results match ``vmap(letterbox_crop_s2d)``
+    for any crop size (bit-exact in f32; same ~one-uint8 bound as the XLA
+    path in bf16). Single-camera paths only — the cond under vmap would
+    execute both branches (callers gate on ``window > 0``)."""
+    from ..ops.pallas_kernels import crop_letterbox_s2d_pallas
+
+    blob, pparams, fits = crop_letterbox_s2d_pallas(
+        image,
+        cars.xywh,
+        dst_h,
+        dst_w,
+        window=window,
+        matmul_dtype=mm_dtype,
+    )
+    ok = jnp.all(jnp.where(cars.valid, fits, True))
+
+    def kernel_path(_):
+        return blob, pparams
+
+    def full_path(xywh):
+        return jax.vmap(
+            lambda b: letterbox_crop_s2d(
+                image,
+                b,
+                dst_height=dst_h,
+                dst_width=dst_w,
+                matmul_dtype=mm_dtype,
+            )
+        )(xywh)
+
+    return jax.lax.cond(ok, kernel_path, full_path, cars.xywh)
+
+
 class RobotDetector:
     """Two-stage cascade: car detection -> per-car armor detection -> robots.
 
@@ -411,12 +452,25 @@ class RobotDetector:
         # (vmapped multi-camera step) MUST pass 0: under vmap the batch-level
         # lax.cond becomes a select that executes BOTH branches, so the
         # window would add cost instead of saving it.
-        blobs, pparams = _crop_batch(
-            image,
-            cars,
-            crop_fn,
-            cfg.crop_window if crop_window is None else crop_window,
-        )
+        eff_window = cfg.crop_window if crop_window is None else crop_window
+        if (
+            use_s2d
+            and eff_window
+            and os.environ.get("RM_RADAR_CROP_PALLAS", "0") == "1"
+        ):
+            # Re-audit kernel #1 (PERF.md): band-DMA fused crop+letterbox.
+            # Windowed single-camera paths only (eff_window > 0 rules out
+            # the vmapped batch step, whose cond would run both branches).
+            blobs, pparams = _crop_batch_pallas(
+                image,
+                cars,
+                cfg.armor_input_height,
+                cfg.armor_input_width,
+                eff_window,
+                mm_dtype,
+            )
+        else:
+            blobs, pparams = _crop_batch(image, cars, crop_fn, eff_window)
         if use_s2d:
             raw = self.armor.model.apply(
                 self.armor.variables, blobs, pre_s2d=True

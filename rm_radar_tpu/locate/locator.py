@@ -341,6 +341,13 @@ def _compact_from_candidates(
       measured -0.328 ms/frame vs "sort" in the round-3 interleaved
       batch-8 A/B at the shipped config, making it the default.
     """
+    if method == "dedup3_pallas":
+        # Pallas pre-compactor (PERF.md re-audit kernel #2): per-row
+        # scan-and-append replaces the M-wide first top_k; exactly equals
+        # "dedup3_topk" (tested) and requires the same enqueue pruning.
+        from ..ops.pallas_kernels import compact_candidates_pallas
+
+        return compact_candidates_pallas(diff, pix_queue, depth_queue, n_out)
     hw = diff.size
     q = pix_queue.shape[0]
     flat = diff.reshape(-1)

@@ -538,7 +538,7 @@ def _compact_rows_kernel(
 
     @pl.when(c == 0)
     def _init():
-        count_ref[0] = 0
+        count_ref[0, 0] = 0
 
     keys = key_ref[:, :]  # [1, chunk] i32
     vals = val_ref[:, :]
@@ -547,7 +547,7 @@ def _compact_rows_kernel(
     n = jnp.sum(mask.astype(jnp.int32))
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    @pl.when((n > 0) & (count_ref[0] < n_out))
+    @pl.when((n > 0) & (count_ref[0, 0] < n_out))
     def _scan():
         def body(k, consumed_col):
             live = mask & (cols > consumed_col)
@@ -555,12 +555,12 @@ def _compact_rows_kernel(
             key_v = jnp.sum(jnp.where(cols == col, keys, 0))
             val_v = jnp.sum(jnp.where(cols == col, vals, 0.0))
 
-            @pl.when(count_ref[0] < n_out)
+            @pl.when(count_ref[0, 0] < n_out)
             def _emit():
-                cur = count_ref[0]
-                okey_ref[cur] = key_v
-                oval_ref[cur] = val_v
-                count_ref[0] = cur + 1
+                cur = count_ref[0, 0]
+                okey_ref[0, cur] = key_v
+                oval_ref[0, cur] = val_v
+                count_ref[0, 0] = cur + 1
 
             return col
 

@@ -202,6 +202,218 @@ def _apply_lighting(img, rng) -> None:
     img[:] = np.clip(out, 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------------------- arena domain (r4)
+#
+# Domain randomization toward the REAL match frames bundled with the
+# reference (assets/images/0..9.jpg: a dark textured arena, robots that are
+# dark bodies with glowing team-colored light bars and bloom, heavy color
+# cast and JPEG artifacts). The procedural "flat" domain above trains
+# detectors that transfer NOT AT ALL to those frames (round-4 baseline:
+# 0/70 recall — tools/eval_real.py); the ``arena=True`` scene style closes
+# the gap procedurally: no real frame is ever trained on (the 10 bundled
+# frames are the held-out eval set, assets/labels/real_frames.json).
+
+
+def _boxblur(img: np.ndarray, k: int) -> np.ndarray:
+    """Separable box blur (float32 HWC) via cumsum — no cv2 in this image."""
+    if k <= 1:
+        return img
+    out = img.astype(np.float32)
+    for axis in (0, 1):
+        pad_l, pad_r = k // 2, k - 1 - k // 2
+        width = [(0, 0)] * out.ndim
+        width[axis] = (pad_l, pad_r)
+        p = np.pad(out, width, mode="edge")
+        c = np.cumsum(p, axis=axis, dtype=np.float32)
+        zero = np.zeros_like(np.take(c, [0], axis=axis))
+        c = np.concatenate([zero, c], axis=axis)
+        n = out.shape[axis]
+        idx = np.arange(n)
+        out = (
+            np.take(c, idx + k, axis=axis) - np.take(c, idx, axis=axis)
+        ) / k
+    return out
+
+
+def _rot_rect_mask(y, x, cx, cy, a, b, theta):
+    """Boolean mask of a rotated rectangle (half-extents a, b)."""
+    dx, dy = x - cx, y - cy
+    ct, st = np.cos(theta), np.sin(theta)
+    return (np.abs(dx * ct + dy * st) < a) & (np.abs(-dx * st + dy * ct) < b)
+
+
+def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Dark textured arena floor: multi-scale tonal noise, facet patches
+    (ramps/walls), thin blue/white lane lines, LED dots, glow strips."""
+    base_lvl = rng.uniform(18, 55)
+    img = np.full((h, w, 3), base_lvl, np.float32)
+    for cell, amp in ((256, 14), (64, 9), (16, 5)):
+        # blur the coarse grid BEFORE kron (same smoothing, 1/cell^2 cost)
+        g = rng.normal(0, amp, size=(-(-h // cell) + 2, -(-w // cell) + 2))
+        g = _boxblur(g[..., None], 2)[..., 0]
+        img += np.kron(g, np.ones((cell, cell)))[:h, :w, None]
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    for _ in range(rng.integers(4, 10)):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        a = rng.uniform(w * 0.05, w * 0.3)
+        b = rng.uniform(h * 0.03, h * 0.25)
+        m = _rot_rect_mask(y, x, cx, cy, a, b, rng.uniform(0, np.pi))
+        img[m] += rng.uniform(-18, 30)
+    for _ in range(rng.integers(3, 9)):
+        theta = rng.uniform(0, np.pi)
+        c = rng.uniform(-0.3, 1.3) * (
+            w * abs(np.cos(theta)) + h * abs(np.sin(theta))
+        )
+        d = np.abs(x * np.cos(theta) + y * np.sin(theta) - c)
+        m = d < rng.uniform(1.5, 4.0)
+        col = (
+            np.array([rng.uniform(160, 255), rng.uniform(60, 140),
+                      rng.uniform(30, 90)], np.float32)
+            if rng.random() < 0.7
+            else np.full(3, rng.uniform(140, 220), np.float32)
+        )
+        img[m] = img[m] * 0.3 + col * 0.7
+    n_dots = int(rng.integers(40, 220))
+    ys = rng.integers(0, h, n_dots)
+    xs = rng.integers(0, w, n_dots)
+    for yy, xx in zip(ys, xs):
+        r = int(rng.integers(1, 3))
+        img[max(yy - r, 0) : yy + r, max(xx - r, 0) : xx + r] = rng.uniform(
+            150, 255
+        )
+    for _ in range(rng.integers(2, 7)):
+        sw = int(rng.integers(20, 160))
+        sh = int(rng.integers(3, 10))
+        if rng.random() < 0.5:
+            sw, sh = sh, sw
+        sx = int(rng.integers(0, max(w - sw, 1)))
+        sy = int(rng.integers(0, max(h - sh, 1)))
+        col = (
+            np.array([30, 40, 230], np.float32)
+            if rng.random() < 0.5
+            else np.array([230, 90, 40], np.float32)
+        ) * rng.uniform(0.7, 1.1)
+        img[sy : sy + sh, sx : sx + sw] = col
+    if rng.random() < 0.5:
+        band = int(rng.uniform(0.05, 0.22) * h)
+        img[:band] = img[:band] * 0.25 + rng.normal(
+            10, 4, size=img[:band].shape
+        )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _draw_car_arena(
+    img: np.ndarray, rng: np.random.Generator, box, label: int
+):
+    """Glow-style robot: dark body, glowing team light bars, lit wheels,
+    bright (sometimes overexposed) number panel. Returns the plate xywh."""
+    x, y, w, h = box
+    team = (_BLUE if label_is_blue(label) else _RED).astype(np.float32)
+    body = rng.uniform(8, 42)
+    top = y + (int(h * rng.uniform(0.0, 0.3)) if rng.random() < 0.6 else 0)
+    img[top : y + h, x : x + w] = np.clip(
+        body + rng.normal(0, 5, size=(y + h - top, w, 1)), 0, 255
+    ).astype(np.uint8)
+    if top > y:
+        tw = int(w * rng.uniform(0.3, 0.6))
+        tx = x + int((w - tw) * rng.uniform(0.2, 0.8))
+        img[y : top + 2, tx : tx + tw] = int(body * rng.uniform(0.7, 1.3))
+        if rng.random() < 0.4:  # bright top panel (hero-style)
+            img[y:top, tx : tx + tw] = int(rng.uniform(180, 250))
+    wh = max(h // 6, 2)
+    img[y + h - wh : y + h, x : x + w] = max(int(body) - 6, 2)
+    for hub in range(2):
+        hx = x + int((0.12 + 0.7 * hub) * w)
+        hw_ = max(w // 10, 2)
+        img[y + h - wh : y + h, hx : hx + hw_] = np.clip(
+            team * rng.uniform(0.5, 1.0), 0, 255
+        ).astype(np.uint8)
+    for _ in range(rng.integers(1, 5)):
+        horizontal = rng.random() < 0.6
+        if horizontal:
+            bw = int(w * rng.uniform(0.25, 0.9))
+            bh = max(int(h * rng.uniform(0.04, 0.12)), 2)
+        else:
+            bw = max(int(w * rng.uniform(0.04, 0.12)), 2)
+            bh = int(h * rng.uniform(0.2, 0.6))
+        bx = x + int(max(w - bw, 1) * rng.random())
+        by = top + int(max(y + h - top - bh, 1) * rng.random())
+        glow = np.clip(
+            team * rng.uniform(0.8, 1.3) + rng.uniform(0, 90), 0, 255
+        )
+        img[by : by + bh, bx : bx + bw] = glow.astype(np.uint8)
+    pw = int(w * rng.uniform(0.34, 0.55))
+    ph = int(h * rng.uniform(0.26, 0.42))
+    pw, ph = max(pw, 8), max(ph, 8)
+    px = x + int((w - pw) * rng.uniform(0.2, 0.8))
+    py = y + int((h - ph) * rng.uniform(0.45, 0.85))
+    img[py : py + ph, px : px + pw] = int(rng.uniform(5, 20))
+    bar_w = max(pw // 7, 1)
+    bar = np.clip(team * rng.uniform(0.9, 1.3) + 30, 0, 255).astype(np.uint8)
+    img[py : py + ph, px : px + bar_w] = bar
+    img[py : py + ph, px + pw - bar_w : px + pw] = bar
+    gx = px + int(pw * 0.22)
+    gw = int(pw * 0.56)
+    gy = py + int(ph * 0.12)
+    gh = int(ph * 0.76)
+    _draw_glyph(img, gx, gy, gw, gh, _LABEL_GLYPH[label])
+    if rng.random() < 0.2:  # overexposed panel: glyph washes out (real
+        # frames show this on bright plates — irreducibly hard labels)
+        img[py : py + ph, px : px + pw] = np.clip(
+            img[py : py + ph, px : px + pw].astype(np.float32)
+            + rng.uniform(120, 200),
+            0,
+            255,
+        ).astype(np.uint8)
+    return (px, py, pw, ph)
+
+
+def apply_photometrics(
+    img: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Camera/sensor model: color cast, gamma, bloom around lights, noise,
+    defocus, JPEG artifacts. Returns a new uint8 image."""
+    out = img.astype(np.float32)
+    gains = np.array(
+        [rng.uniform(0.9, 1.35), rng.uniform(0.75, 1.1),
+         rng.uniform(0.75, 1.2)],
+        np.float32,
+    )
+    out *= gains  # color cast (BGR; the real frames lean blue/purple)
+    # gamma via a 1024-entry LUT (np.power over 16M pixels is the hot spot)
+    lut = 255.0 * np.power(
+        np.linspace(0.0, 1.0, 1024, dtype=np.float32),
+        np.float32(rng.uniform(0.65, 1.6)),
+    )
+    out = lut[np.clip(out * (1023.0 / 255.0), 0, 1023).astype(np.int32)]
+    bright = np.clip(out - rng.uniform(150, 200), 0, None)
+    if bright.max() > 0:  # bloom (computed at 1/4 scale: a glow is smooth)
+        small = bright[::4, ::4]
+        k = (int(rng.integers(5, 15)) // 4 + 1) | 1
+        glow = _boxblur(_boxblur(small, k), k) * rng.uniform(0.5, 1.2)
+        out += np.kron(glow, np.ones((4, 4, 1), np.float32))[
+            : out.shape[0], : out.shape[1]
+        ]
+    if rng.random() < 0.35:  # defocus
+        out = _boxblur(out, int(rng.integers(2, 4)))
+    out += rng.standard_normal(out.shape, dtype=np.float32) * np.float32(
+        rng.uniform(2, 9)
+    )
+    out = np.clip(out, 0, 255).astype(np.uint8)
+    if rng.random() < 0.8:  # JPEG round trip
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(out[..., ::-1]).save(
+            buf, "JPEG", quality=int(rng.integers(40, 90))
+        )
+        buf.seek(0)
+        out = np.asarray(Image.open(buf))[..., ::-1].copy()
+    return out
+
+
 def make_scene(
     rng: np.random.Generator,
     height: int = 640,
@@ -210,6 +422,7 @@ def make_scene(
     car_size: Tuple[int, int] = (40, 170),
     n_cars: Optional[int] = None,
     hard: bool = False,
+    arena: bool = False,
 ) -> Scene:
     """One full-field scene with ``n_cars`` (default random 0..max_cars).
 
@@ -229,8 +442,13 @@ def make_scene(
     and keeps hard-tier label accuracy strictly inside (0, 1) even after
     hard-mix retrains saturate the blur/lighting/truncation axes (the
     round-3 event that forced this hardening; see PERF.md).
+
+    ``arena=True`` switches to the real-domain randomized style (dark
+    textured arena background, glow-rendered robots, photometric camera
+    model — see the "arena domain" section above); combinable with
+    ``hard``.
     """
-    img = _background(rng, height, width)
+    img = (_background_arena if arena else _background)(rng, height, width)
     _add_distractors(img, rng)
     if hard:
         for _ in range(rng.integers(1, 3)):
@@ -294,13 +512,15 @@ def make_scene(
             # Truncated car: render on its own canvas, paste the visible
             # part (negative numpy slices would wrap around).
             patch = np.zeros((ch, cw, 3), np.uint8)
-            pa = _draw_car(patch, rng, (0, 0, cw, ch), label)
+            draw = _draw_car_arena if arena else _draw_car
+            pa = draw(patch, rng, (0, 0, cw, ch), label)
             img[vis_y0:vis_y1, vis_x0:vis_x1] = patch[
                 vis_y0 - y : vis_y1 - y, vis_x0 - x : vis_x1 - x
             ]
             armor = (pa[0] + x, pa[1] + y, pa[2], pa[3])
         else:
-            armor = _draw_car(img, rng, (x, y, cw, ch), label)
+            draw = _draw_car_arena if arena else _draw_car
+            armor = draw(img, rng, (x, y, cw, ch), label)
         if hard and rng.random() < 0.3:
             _motion_blur(
                 img, (vis_x0, vis_y0, vis_x1 - vis_x0, vis_y1 - vis_y0),
@@ -323,6 +543,8 @@ def make_scene(
             visible[j] *= 1.0 - iw * ih / max(aw * ah, 1)
     if hard:
         _apply_lighting(img, rng)
+    if arena:
+        img = apply_photometrics(img, rng)
     return Scene(
         image=img,
         car_xywh=np.asarray(cars, np.float32).reshape(-1, 4),
@@ -334,7 +556,7 @@ def make_scene(
 
 
 def make_crop_scene(
-    rng: np.random.Generator, size: int = 640
+    rng: np.random.Generator, size: int = 640, arena: bool = False
 ) -> Scene:
     """One armor-stage training sample: a single car filling most of the
     frame, as the cascade's crop+letterbox produces (detector.cpp:417-424).
@@ -346,7 +568,7 @@ def make_crop_scene(
     """
     up = int(rng.choice([1, 1, 2, 4]))
     s = size // up
-    img = _background(rng, s, s)
+    img = (_background_arena if arena else _background)(rng, s, s)
     frac = rng.uniform(0.45, 0.95)
     cw = int(s * frac)
     ch = int(cw * rng.uniform(0.65, 0.95))
@@ -354,7 +576,11 @@ def make_crop_scene(
     x = int(rng.integers(0, s - cw)) if s > cw else 0
     y = int(rng.integers(0, s - ch)) if s > ch else 0
     label = int(rng.integers(0, 12))
-    armor = _draw_car(img, rng, (x, y, cw, ch), label)
+    armor = (_draw_car_arena if arena else _draw_car)(
+        img, rng, (x, y, cw, ch), label
+    )
+    if arena:
+        img = apply_photometrics(img, rng)
     # letterbox pad bars (both sides, like a centered letterbox)
     if rng.random() < 0.5:
         pad = int(rng.integers(0, s // 4))
@@ -365,7 +591,7 @@ def make_crop_scene(
             img[:, :pad], img[:, s - pad :] = 128, 128
             keep = (armor[0] >= pad) and (armor[0] + armor[2] <= s - pad)
         if not keep:  # plate destroyed by the pad: relabel as background
-            return make_crop_scene(rng, size)
+            return make_crop_scene(rng, size, arena=arena)
     if up > 1:
         img = np.kron(img, np.ones((up, up, 1), np.uint8))
         armor = tuple(v * up for v in armor)

@@ -156,11 +156,49 @@ def main() -> int:
     parser.add_argument("output")
     args = parser.parse_args()
 
-    import torch  # gated: only needed for conversion
+    try:
+        import torch  # full unpickle needs torch AND ultralytics
 
-    ckpt = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
-    model = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
-    state_dict = model.float().state_dict()
+        ckpt = torch.load(
+            args.checkpoint, map_location="cpu", weights_only=False
+        )
+        model = (
+            ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt
+            else ckpt
+        )
+        state_dict = model.float().state_dict()
+    except Exception as e:
+        # A real Ultralytics .pt references ultralytics classes; without
+        # that package torch.load fails. The stdlib+numpy stub loader reads
+        # the archive directly (rm_radar_tpu/models/pt_loader.py; validated
+        # on genuine-format archives in tests/test_pt_real.py).
+        print(
+            f"torch.load failed ({type(e).__name__}: {e}); "
+            "falling back to the ultralytics-free stub loader",
+            file=sys.stderr,
+        )
+        from rm_radar_tpu.models.pt_loader import load_ultralytics_state_dict
+
+        sys.path.insert(0, ".")
+        state_dict = load_ultralytics_state_dict(args.checkpoint)
+
+    class _Np:  # convert_state_dict expects .detach().cpu().numpy()
+        def __init__(self, a):
+            self._a = np.asarray(a)
+
+        def detach(self):
+            return self
+
+        def cpu(self):
+            return self
+
+        def numpy(self):
+            return self._a
+
+    state_dict = {
+        k: (v if hasattr(v, "detach") else _Np(v))
+        for k, v in state_dict.items()
+    }
     variables = convert_state_dict(state_dict)
 
     sys.path.insert(0, ".")

@@ -67,17 +67,23 @@ def stage_car_batches(args, jax, jnp, rng):
     for _ in range(args.n_batches):
         # --hard: a 50/50 easy/hard scene mix, so the hard-tier failure
         # modes are learned without regressing the easy tier.
-        scenes = [
-            make_scene(
+        # --hard: 50/50 easy/hard; --arena: an independent 50% of scenes
+        # render in the real-domain arena style with SMALLER cars (real
+        # match robots are 40-180 px in the 2592x2048 frame — the flat
+        # domain's 180-660 px never taught that scale).
+        def one_scene():
+            arena = bool(getattr(args, "arena", False) and rng.random() < 0.5)
+            return make_scene(
                 rng,
                 CAM_H,
                 CAM_W,
                 max_cars=6,
-                car_size=(180, 660),
+                car_size=(60, 420) if arena else (180, 660),
                 hard=bool(getattr(args, "hard", False) and rng.random() < 0.5),
+                arena=arena,
             )
-            for _ in range(args.batch)
-        ]
+
+        scenes = [one_scene() for _ in range(args.batch)]
         images, xywh, label, valid = scene_to_targets(scenes, "car", capacity)
         blobs, pparams = letterbox(images)
         pp = jax.device_get(pparams)
@@ -128,15 +134,19 @@ def stage_armor_batches(args, jax, jnp, rng, dst: int):
             # lighting extremes, distractor-car background) — the armor
             # stage's share of the hard-tier gap; car-car plate occlusion
             # stays eval-only (single-car canvases have no occluders).
+            arena = bool(
+                getattr(args, "arena", False) and rng.random() < 0.5
+            )
             s = make_scene(
                 rng,
                 ARMOR_CANVAS,
                 ARMOR_CANVAS,
-                car_size=(180, 640),
+                car_size=(120, 640) if arena else (180, 640),
                 n_cars=1,
                 hard=bool(
                     getattr(args, "hard", False) and rng.random() < 0.5
                 ),
+                arena=arena,
             )
             if len(s.car_xywh) != 1:
                 continue
@@ -238,6 +248,16 @@ def main() -> int:
                     "canvases (truncation/blur/lighting/distractor "
                     "background; car-car plate occlusion stays eval-only). "
                     "See PERF.md hard-tier sections.")
+    ap.add_argument("--arena", action="store_true",
+                    help="mix in 50% real-domain arena-style scenes (dark "
+                    "textured arena, glow-rendered robots, photometric "
+                    "camera model, small real-scale cars) — the domain "
+                    "randomization behind the real-frame eval tier "
+                    "(tools/eval_real.py, assets/labels/real_frames.json)")
+    ap.add_argument("--suffix", default="",
+                    help="extra suffix for the saved checkpoint name (e.g. "
+                    "'_r4' to avoid overwriting shipped evidence until the "
+                    "candidate is evaluated)")
     ap.add_argument("--assigner", choices=["center", "tal"], default="center",
                     help="anchor assignment in the loss: 'center' (closest-"
                     "center-inside-box) or 'tal' (Ultralytics task-aligned "
@@ -397,7 +417,7 @@ def main() -> int:
             )
 
     os.makedirs(args.out, exist_ok=True)
-    suffix = "" if args.size == 640 else f"_{args.size}"
+    suffix = ("" if args.size == 640 else f"_{args.size}") + args.suffix
     path = os.path.join(
         args.out, f"{args.stage}_synth_{args.variant}{suffix}.npz"
     )
