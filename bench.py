@@ -76,17 +76,37 @@ def bench_batch8(
     from rm_radar_tpu.utils.io import pad_points
 
     b = 8
-    imgs = jax.device_put(
-        np.stack([np.ascontiguousarray(images[i % len(images)]) for i in range(b)])
-    )
-    clds = jax.device_put(
-        np.stack(
-            [
-                pad_points(clouds[i % len(clouds)], radar.config.locator.max_points)
-                for i in range(b)
-            ]
+    # BENCH_ROTATE=N (default 1): number of distinct 8-camera scene stacks
+    # the timed loop rotates through. 1 = the round-3 definition (content-
+    # static steps: pure drift-immune device throughput); N>1 varies the
+    # content per step so bucket occupancy / scene-dependent work moves
+    # inside the timed region (closer to a serving simulation; VERDICT r3
+    # weak #4). Stacks are cyclic shifts of the scene pool, so every scene
+    # appears in every stack and the per-step work is comparable.
+    n_rot = max(int(os.environ.get("BENCH_ROTATE", "1")), 1)
+    stacks = []
+    for r in range(n_rot):
+        imgs_r = jax.device_put(
+            np.stack(
+                [
+                    np.ascontiguousarray(images[(i + r) % len(images)])
+                    for i in range(b)
+                ]
+            )
         )
-    )
+        clds_r = jax.device_put(
+            np.stack(
+                [
+                    pad_points(
+                        clouds[(i + r) % len(clouds)],
+                        radar.config.locator.max_points,
+                    )
+                    for i in range(b)
+                ]
+            )
+        )
+        stacks.append((imgs_r, clds_r))
+    imgs, clds = stacks[0]
     n_steps = max(n_frames // b, 5)
     # Pre-stage per-step timestamps (one tiny device array per step): H2D in
     # this dev environment has ~24 ms RTT, which must stay off the timed path.
@@ -142,10 +162,19 @@ def bench_batch8(
     # async host copy of one output leaf per step and consume them all at
     # the end (block_until_ready alone is lazy on remote backends; an eager
     # checksum op would add a host round trip into the chain).
+    if n_rot > 1:  # warm every stack's content off the clock (timestamps
+        # strictly increasing below the timed sequence's 1.0 start)
+        for k, (imgs_r, clds_r) in enumerate(stacks[1:]):
+            ts_k = jax.device_put(
+                np.full((b,), 0.5 + 0.4 * (k + 1) / n_rot, np.float32)
+            )
+            carries, batch = step(carries, imgs_r, clds_r, ts_k)
+        _ = np.asarray(batch.confidence)
     t0 = time.perf_counter()
     handles = []
     for i in range(n_steps):
-        carries, batch = step(carries, imgs, clds, ts_dev[i])
+        imgs_i, clds_i = stacks[i % n_rot]
+        carries, batch = step(carries, imgs_i, clds_i, ts_dev[i])
         batch.confidence.copy_to_host_async()
         handles.append(batch.confidence)
     for h in handles:

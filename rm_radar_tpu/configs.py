@@ -227,6 +227,19 @@ class LocatorConfig:
             "RM_RADAR_COMPACTION", "dedup3_topk"
         )
     )
+    # Enqueue-time dedup lowering inside update() for the dedup3_* family:
+    # "sort" (default) — one argsort of max_points keys per cloud, output
+    # pixel-sorted (required by dedup3_pallas); "scatter" — owner-table
+    # scatter-min, no argsort, original order (fine for dedup3_topk /
+    # dedup3_sort, whose exactness needs only the <=1-per-pixel bound).
+    # The argsort is the update stage's dominant op; the round-4 A/B
+    # measures whether the ~10K-update scatter beats it at this domain
+    # size (the 49K-domain scatter lost in round 3). Env override for A/B.
+    enqueue_dedup: str = dataclasses.field(
+        default_factory=lambda: __import__("os").environ.get(
+            "RM_RADAR_ENQUEUE_DEDUP", "sort"
+        )
+    )
     # Depth-image ring layout: "stacked" keeps one [Q, H, W] array whose
     # roll re-writes all Q images every frame (a [3, 1024, 1296] f32
     # concatenate = 16 MB of HBM writes); "tuple" stores Q separate [H, W]

@@ -160,6 +160,34 @@ def _project_flat(
     return flat_idx, jnp.where(ok, d, 0.0), ok
 
 
+def _dedup_cloud_candidates_scatter(
+    pix: Array, d: Array, depth_flat: Array, hw: int
+) -> Tuple[Array, Array]:
+    """Owner-table lowering of :func:`_dedup_cloud_candidates`: scatter-min
+    each max-depth candidate's index into a [H*W+1] table and keep owners —
+    no argsort (the enqueue stage's dominant op, ~10K keys/cloud). Keeps
+    the same candidate SET (<= 1 max-depth candidate per pixel; which
+    duplicate survives is value-irrelevant — all carry the scatter-max
+    depth) but in ORIGINAL projection order, not pixel-sorted — compatible
+    with the dedup3_topk/dedup3_sort selections (they only need the
+    <=1-per-pixel-per-cloud bound) but NOT with dedup3_pallas (whose
+    per-row quota proof needs sorted rows; update() enforces the pairing).
+    The round-3 A/B measured a 49K-update scatter slower than its argsort;
+    at the enqueue granularity the domain is max_points (~10K), where the
+    scatter is expected to win — measured via RM_RADAR_ENQUEUE_DEDUP.
+    """
+    m = pix.shape[0]
+    is_max = (pix < hw) & (d == depth_flat[jnp.minimum(pix, hw)])
+    key = jnp.where(is_max, pix, hw)
+    j = jnp.arange(m, dtype=jnp.int32)
+    owner = jnp.full((hw + 1,), m, jnp.int32).at[key].min(j)
+    keep = is_max & (owner[key] == j)
+    return (
+        jnp.where(keep, pix, hw).astype(jnp.int32),
+        jnp.where(keep, d, 0.0),
+    )
+
+
 def _dedup_cloud_candidates(
     pix: Array, d: Array, depth_flat: Array, hw: int
 ) -> Tuple[Array, Array]:
@@ -216,7 +244,18 @@ def update(
     depth = jnp.zeros((h * w + 1,), jnp.float32)
     depth = depth.at[flat_idx].max(d)
     if dedup3:
-        flat_idx, d = _dedup_cloud_candidates(flat_idx, d, depth, h * w)
+        if config.enqueue_dedup == "scatter":
+            if config.candidate_compaction == "dedup3_pallas":
+                raise ValueError(
+                    "enqueue_dedup='scatter' emits unsorted rows; "
+                    "dedup3_pallas requires pixel-sorted rows (its per-row "
+                    "quota exactness proof). Use enqueue_dedup='sort'."
+                )
+            flat_idx, d = _dedup_cloud_candidates_scatter(
+                flat_idx, d, depth, h * w
+            )
+        else:
+            flat_idx, d = _dedup_cloud_candidates(flat_idx, d, depth, h * w)
     depth = depth[:-1].reshape(h, w)
     background = jnp.maximum(state.background, depth)
     if config.queue_layout == "tuple":

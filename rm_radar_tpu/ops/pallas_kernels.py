@@ -215,16 +215,33 @@ def foreground_compact(
 # ---------------------------------------------------------------------------
 
 
-def _crop_s2d_grid_params(image, boxes_xywh, dst_height, dst_width, window):
+def _crop_s2d_grid_params(
+    image, boxes_xywh, dst_height, dst_width, window, blk, band_h
+):
     """XLA-side (traced) per-car sampling parameters for the fused
     crop+letterbox kernel. Mirrors ops/preprocess.letterbox_crop_s2d's box
     handling exactly (int truncation + clamping, reference detector.cpp:
-    417-424 crop semantics; sampling per detector.cu:53-79)."""
+    417-424 crop semantics; sampling per detector.cu:53-79).
+
+    ``blk``/``band_h`` size the kernel's per-block source band: Mosaic
+    cannot dynamically slice single uint8 window rows (sublane tiling 32),
+    so each grid block instead reads a 32-aligned ``band_h``-row slice
+    covering all of its bilinear source rows and resamples it with a
+    one-hot lerp matmul. ``band_base`` is that slice's per-block origin;
+    crops whose source rows would overflow the band (possible only for
+    boxes near/over the window bound) are folded into ``fits`` = False —
+    the caller's XLA fallback handles them, same as window overflow.
+    """
     from ..geometry import compute_pre_param, letterbox_padding, round_half_away
 
     src_h, src_w = int(image.shape[0]), int(image.shape[1])
-    win_h = min(-(-min(window, src_h) // 8) * 8 + 8, src_h)
+    # win_h is 32-aligned (uint8 sublane tiling) so every 32-aligned band
+    # base up to win_h - band_h exists — in particular the one covering the
+    # window's LAST rows (crops clamped to the bottom of the frame land
+    # there); +8 slack absorbs ystart's align-down.
+    win_h = min(-(-(min(window, src_h) + 32) // 32) * 32, src_h)
     win_w = min(-(-min(window, src_w) // 128) * 128 + 128, src_w)
+    assert win_h % 32 == 0 and src_h % 32 == 0, (win_h, src_h)
 
     def per_car(box):
         x0 = jnp.clip(box[0].astype(jnp.int32), 0, src_w - 1)
@@ -237,9 +254,10 @@ def _crop_s2d_grid_params(image, boxes_xywh, dst_height, dst_width, window):
         rw = round_half_away(cwf / pparam.ratio).astype(jnp.int32)
         top, _, left, _ = letterbox_padding(pparam)
 
-        # Window origin: sublane-aligned rows, lane-aligned (x128) pixels so
-        # the uint8 [H, W*3] view's DMA lane start (3*xstart) is 128-aligned.
-        ystart = jnp.clip(y0 - y0 % 8, 0, src_h - win_h)
+        # Window origin: 32-aligned rows (uint8 sublane tiling; Mosaic must
+        # prove the DMA start), lane-aligned (x128) pixels so the uint8
+        # [H, W*3] view's DMA lane start (3*xstart) is 128-aligned.
+        ystart = jnp.clip(y0 - y0 % 32, 0, src_h - win_h)
         xstart = jnp.clip(x0 - x0 % 128, 0, src_w - win_w)
         fits = (y0 + ch <= ystart + win_h) & (x0 + cw <= xstart + win_w)
 
@@ -281,9 +299,25 @@ def _crop_s2d_grid_params(image, boxes_xywh, dst_height, dst_width, window):
         jxfrac = xfrac[x_of_j]
         jxvalid = x_valid[x_of_j].astype(jnp.float32)
 
+        # Per-block band origin (window-relative, 32-aligned). ylow/yhigh
+        # are nondecreasing in output row, so block b's source rows span
+        # [wl[first out row], wh[last out row]]; exact per-box coverage is
+        # checked here (band_ok) instead of proving a worst-case bound.
+        wl = ylow + y0 - ystart  # [dst_height], window-relative
+        wh = yhigh + y0 - ystart
+        nblk = dst_height // (2 * blk)
+        lo_min = wl.reshape(nblk, 2 * blk)[:, 0]
+        hi_max = wh.reshape(nblk, 2 * blk)[:, -1]
+        # win_h and band_h are both 32-aligned, so the upper clip bound is
+        # too (the kernel promises Mosaic a 32-aligned slice origin).
+        band_base = jnp.clip(lo_min - lo_min % 32, 0, win_h - band_h)
+        band_ok = jnp.all(hi_max - band_base < band_h)
+        fits = fits & band_ok
+
         return dict(
             pparam=pparam,
             fits=fits,
+            band_base=band_base,
             ystart=ystart,
             xstart3=3 * xstart,
             ylow=par(ylow + y0 - ystart),
@@ -303,6 +337,7 @@ def _crop_s2d_grid_params(image, boxes_xywh, dst_height, dst_width, window):
 def _crop_s2d_kernel(
     ystart_ref,
     xstart3_ref,
+    band_base_ref,
     ylow_ref,
     yhigh_ref,
     yfrac_ref,
@@ -315,10 +350,12 @@ def _crop_s2d_kernel(
     out_ref,
     win_ref,
     rx_ref,
+    ry_ref,
     rows_ref,
     sem_ref,
     *,
     blk,
+    band_h,
     win_w3,
     pad_value,
     mm_dtype,
@@ -338,47 +375,72 @@ def _crop_s2d_kernel(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    car = pl.program_id(0)
     b = pl.program_id(1)
 
     @pl.when(b == 0)
     def _setup():
+        rows = pl.ds(pl.multiple_of(ystart_ref[car], 32), win_ref.shape[0])
+        # A lane slice must be 128-aligned in offset AND length; when the
+        # window spans the full image width (win_w3 == the array's dim 1,
+        # xstart always 0) skip it — a full dimension has no such rule.
+        src = (
+            img_ref.at[rows]
+            if win_w3 == img_ref.shape[1]
+            else img_ref.at[
+                rows, pl.ds(pl.multiple_of(xstart3_ref[car], 128), win_w3)
+            ]
+        )
         dma = pltpu.make_async_copy(
-            img_ref.at[
-                pl.ds(ystart_ref[0], win_ref.shape[0]),
-                pl.ds(xstart3_ref[0], win_w3),
-            ],
+            src,
             win_ref,
             sem_ref,
         )
         dma.start()
         jw = rx_ref.shape[1]
         lane = jax.lax.broadcasted_iota(jnp.int32, (win_w3, jw), 0)
-        jl = jxlow_ref[:, :]  # [1, JW]
-        jh = jxhigh_ref[:, :]
-        jf = jxfrac_ref[:, :]
+        jl = jxlow_ref[0, :, :]  # [1, JW]
+        jh = jxhigh_ref[0, :, :]
+        jf = jxfrac_ref[0, :, :]
         rx_ref[:, :] = (
             (lane == jl).astype(jnp.float32) * (1.0 - jf)
             + (lane == jh).astype(jnp.float32) * jf
         ).astype(mm_dtype)
         dma.wait()
 
-    # Bilinear row lerps: dynamic sublane slices of the window (static
-    # unroll — Mosaic has no batched dynamic indexing, and 4*blk one-row
-    # slices per block are cheap). Row params are whole-car SMEM arrays;
-    # the block's rows start at b*blk.
+    # Bilinear row lerps as a one-hot matmul over the block's source band.
+    # Mosaic cannot dynamically slice single uint8 window rows (sublane
+    # tiling 32, no unsigned->float cast), so the block reads its
+    # 32-aligned [band_h, win_w3] source band once (coverage guaranteed by
+    # the wrapper's band_ok & fits), builds the [2*blk, band_h] lerp matrix
+    # RY from SMEM row params by iota comparison (rows have exactly the two
+    # bilinear weights 1-f / f — same terms as the XLA path's row einsum),
+    # and lands the resampled rows with one MXU matmul.
+    base = pl.multiple_of(band_base_ref[car, b], 32)
+    band = (
+        win_ref[pl.ds(base, band_h), :]
+        .astype(jnp.int32)
+        .astype(jnp.float32)
+        .astype(mm_dtype)
+    )
+    band_iota = jax.lax.broadcasted_iota(jnp.int32, (1, band_h), 1)
     for p in (0, 1):
         for t in range(blk):
             row = b * blk + t
-            lo_r = ylow_ref[0, p, row]
-            hi_r = yhigh_ref[0, p, row]
-            f = yfrac_ref[0, p, row]
-            lo = win_ref[pl.ds(lo_r, 1), :].astype(jnp.float32)
-            hi = win_ref[pl.ds(hi_r, 1), :].astype(jnp.float32)
-            rows_ref[p * blk + t : p * blk + t + 1, :] = (
-                lo * (1.0 - f) + hi * f
-            ).astype(mm_dtype)
+            lo_rel = ylow_ref[car, p, row] - base
+            hi_rel = yhigh_ref[car, p, row] - base
+            f = yfrac_ref[car, p, row]
+            ry_row = jnp.where(
+                band_iota == lo_rel, 1.0 - f, 0.0
+            ) + jnp.where(band_iota == hi_rel, f, 0.0)
+            ry_ref[p * blk + t : p * blk + t + 1, :] = ry_row.astype(
+                mm_dtype
+            )
+    rows_ref[:, :] = jnp.dot(
+        ry_ref[:, :], band, preferred_element_type=jnp.float32
+    ).astype(mm_dtype)
 
-    jxv = jxvalid_ref[:, :]  # [1, JW]
+    jxv = jxvalid_ref[0, :, :]  # [1, JW]
     for p in (0, 1):
         res = jnp.dot(
             rows_ref[p * blk : (p + 1) * blk, :],
@@ -432,36 +494,63 @@ def crop_letterbox_s2d_pallas(
     nblk = h2 // blk
     mm_dtype = matmul_dtype or jnp.float32
 
+    # Static band height: per-block source-row span is ~2*blk*ratio where
+    # ratio <= max(win_h/dst_h, win_w/dst_w) for any crop that fits the
+    # window, plus 2 rows bilinear slack and 31 rows 32-alignment slack.
+    # Coverage is still checked exactly per box (band_ok -> fits).
+    win_h_probe = min(-(-(min(window, src_h) + 32) // 32) * 32, src_h)
+    win_w_probe = min(-(-min(window, src_w) // 128) * 128 + 128, src_w)
+    ratio_max = max(win_h_probe / dst_height, win_w_probe / dst_width)
+    band_h = -(-(int(2 * blk * ratio_max) + 2 + 31) // 32) * 32
+    band_h = min(band_h, win_h_probe)
+
     params, win_h, win_w = _crop_s2d_grid_params(
-        image, boxes_xywh, dst_height, dst_width, window
+        image, boxes_xywh, dst_height, dst_width, window, blk, band_h
     )
     win_w3 = win_w * 3
+    # Mosaic's DMA checker wants every lane extent 128-aligned. The sliced
+    # path guarantees it structurally (win_w uncapped is a multiple of 128
+    # and so is 3*win_w... since 3 is odd, 128 | 3w iff 128 | w); the
+    # full-width path (win_w == src_w, only reachable for images narrower
+    # than window+128, i.e. tests/tiny inputs) pads the 2D view's columns
+    # to the next 128 multiple — the resample matrix never addresses the
+    # padded lanes (its one-hot rows are built from real source indices),
+    # so results are unchanged.
+    assert win_w == src_w or win_w3 % 128 == 0, (win_w, src_w)
     img2d = image.reshape(src_h, src_w * 3)
+    if win_w3 % 128:
+        lane_pad = 128 - win_w3 % 128
+        img2d = jnp.pad(img2d, ((0, 0), (0, lane_pad)))
+        win_w3 += lane_pad
 
     kernel = functools.partial(
         _crop_s2d_kernel,
         blk=blk,
+        band_h=band_h,
         win_w3=win_w3,
         pad_value=pad_value,
         mm_dtype=mm_dtype,
     )
-    smem = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda r_, b_: (r_,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.SMEM,
-    )
-    vrow = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda r_, b_: (r_,) + (0,) * (len(shape) - 1),
-        memory_space=pltpu.VMEM,
+    # Mosaic block-spec rules (lowering.py::_check_block_mappings): SMEM
+    # refs are exempt only as WHOLE arrays (trivial window) — per-car
+    # scalar/row params therefore pass unblocked and the kernel indexes
+    # them by program_id(0); blocked VMEM refs must tile (8, 128) or span
+    # the array dim, so the per-car column vectors carry a unit middle
+    # axis ([r, 1, jw] with (1, 1, jw) blocks — last two dims span).
+    smem_whole = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vrow = lambda: pl.BlockSpec(
+        (1, 1, jw), lambda r_, b_: (r_, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
         grid=(r, nblk),
         in_specs=[
-            smem((r,)),  # ystart
-            smem((r,)),  # xstart3
-            smem((r, 2, h2)),  # ylow (window-relative)
-            smem((r, 2, h2)),  # yhigh
-            smem((r, 2, h2)),  # yfrac
+            smem_whole(),  # ystart [r]
+            smem_whole(),  # xstart3 [r]
+            smem_whole(),  # band_base [r, nblk]
+            smem_whole(),  # ylow (window-relative) [r, 2, h2]
+            smem_whole(),  # yhigh
+            smem_whole(),  # yfrac
             # yvalid as a VMEM [blk, 1]-per-block plane (vector reads are
             # not legal from SMEM).
             pl.BlockSpec(
@@ -469,10 +558,10 @@ def crop_letterbox_s2d_pallas(
                 lambda r_, b_: (r_, 0, b_, 0),
                 memory_space=pltpu.VMEM,
             ),
-            vrow((r, jw)),  # jxlow
-            vrow((r, jw)),  # jxhigh
-            vrow((r, jw)),  # jxfrac
-            vrow((r, jw)),  # jxvalid
+            vrow(),  # jxlow
+            vrow(),  # jxhigh
+            vrow(),  # jxfrac
+            vrow(),  # jxvalid
             pl.BlockSpec(memory_space=pltpu.ANY),  # full frame, manual DMA
         ],
         out_specs=pl.BlockSpec(
@@ -484,6 +573,7 @@ def crop_letterbox_s2d_pallas(
         scratch_shapes=[
             pltpu.VMEM((win_h, win_w3), jnp.uint8),
             pltpu.VMEM((win_w3, jw), mm_dtype),
+            pltpu.VMEM((2 * blk, band_h), mm_dtype),
             pltpu.VMEM((2 * blk, win_w3), mm_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -491,14 +581,15 @@ def crop_letterbox_s2d_pallas(
     )(
         params["ystart"],
         params["xstart3"],
+        params["band_base"],
         params["ylow"],
         params["yhigh"],
         params["yfrac"],
         params["yvalid"].astype(jnp.float32)[..., None],
-        params["jxlow"],
-        params["jxhigh"],
-        params["jxfrac"],
-        params["jxvalid"],
+        params["jxlow"][:, None, :],
+        params["jxhigh"][:, None, :],
+        params["jxfrac"][:, None, :],
+        params["jxvalid"][:, None, :],
         img2d,
     )
     # [R, 2, H2, W2*6] -> [R, H2, W2, 12] with (p, q, c) channel order:
@@ -519,52 +610,62 @@ def _compact_rows_kernel(
     *,
     n_out,
     chunk,
+    q,
 ):
-    """One grid step: scan one [1, chunk] slice of one queue row's candidate
-    keys (pixel-sorted, hw sentinel for non-foreground) and append the
-    foreground entries to the row's SMEM output, stopping at ``n_out``.
+    """One grid step: scan one [q, chunk] slice of the queue rows' candidate
+    keys (pixel-sorted, hw sentinel for non-foreground) and append each
+    row's foreground entries to its SMEM output, stopping at ``n_out``.
 
     Rows are pixel-sorted (enqueue dedup, locator._dedup_cloud_candidates),
     so position order == key order and the first ``n_out`` emitted per row
     are the row's smallest foreground pixels — which provably contain every
     member of the global first-``n_out``-unique selection (each row carries
-    <= 1 candidate per pixel). The vector part is one mask+count per chunk;
-    the scalar emission loop runs only for chunks that contain foreground
-    and stops once the row's quota is filled.
+    <= 1 candidate per pixel). The vector part is one mask+count per row per
+    chunk; the scalar emission loop runs only for chunks that contain
+    foreground and stops once the row's quota is filled.
+
+    The grid runs over chunks only and the block carries all ``q`` rows
+    (statically unrolled; q = queue_size, 3 by default): Mosaic requires
+    rank-2 VMEM blocks to tile (8, 128) or span the array dim, so a
+    [1, chunk] per-row block over a [q, p] array is not lowerable — the
+    per-row outputs/counters live as whole-array SMEM (trivial windows are
+    exempt from the tiling rule).
     """
     import jax.experimental.pallas as pl
 
-    c = pl.program_id(1)
+    c = pl.program_id(0)
 
     @pl.when(c == 0)
     def _init():
-        count_ref[0, 0] = 0
+        for row in range(q):
+            count_ref[row, 0] = 0
 
-    keys = key_ref[:, :]  # [1, chunk] i32
-    vals = val_ref[:, :]
     sentinel = jnp.int32(2**30)
-    mask = keys < sentinel
-    n = jnp.sum(mask.astype(jnp.int32))
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    for row in range(q):
+        keys = key_ref[row : row + 1, :]  # [1, chunk] i32
+        vals = val_ref[row : row + 1, :]
+        mask = keys < sentinel
+        n = jnp.sum(mask.astype(jnp.int32))
 
-    @pl.when((n > 0) & (count_ref[0, 0] < n_out))
-    def _scan():
-        def body(k, consumed_col):
-            live = mask & (cols > consumed_col)
-            col = jnp.min(jnp.where(live, cols, chunk))
-            key_v = jnp.sum(jnp.where(cols == col, keys, 0))
-            val_v = jnp.sum(jnp.where(cols == col, vals, 0.0))
+        @pl.when((n > 0) & (count_ref[row, 0] < n_out))
+        def _scan(row=row, keys=keys, vals=vals, mask=mask, n=n):
+            def body(k, consumed_col):
+                live = mask & (cols > consumed_col)
+                col = jnp.min(jnp.where(live, cols, chunk))
+                key_v = jnp.sum(jnp.where(cols == col, keys, 0))
+                val_v = jnp.sum(jnp.where(cols == col, vals, 0.0))
 
-            @pl.when(count_ref[0, 0] < n_out)
-            def _emit():
-                cur = count_ref[0, 0]
-                okey_ref[0, cur] = key_v
-                oval_ref[0, cur] = val_v
-                count_ref[0, 0] = cur + 1
+                @pl.when(count_ref[row, 0] < n_out)
+                def _emit():
+                    cur = count_ref[row, 0]
+                    okey_ref[row, cur] = key_v
+                    oval_ref[row, cur] = val_v
+                    count_ref[row, 0] = cur + 1
 
-            return col
+                return col
 
-        jax.lax.fori_loop(0, n, body, jnp.int32(-1))
+            jax.lax.fori_loop(0, n, body, jnp.int32(-1))
 
 
 def compact_candidates_pallas(
@@ -605,29 +706,23 @@ def compact_candidates_pallas(
     key = jnp.where(is_fg, pix_queue, jnp.int32(2**30))
 
     kernel = functools.partial(
-        _compact_rows_kernel, n_out=n_out, chunk=chunk
+        _compact_rows_kernel, n_out=n_out, chunk=chunk, q=q
     )
     okey, oval, counts = pl.pallas_call(
         kernel,
-        grid=(q, p // chunk),
+        grid=(p // chunk,),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk), lambda q_, c_: (q_, c_), memory_space=pltpu.VMEM
+                (q, chunk), lambda c_: (0, c_), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, chunk), lambda q_, c_: (q_, c_), memory_space=pltpu.VMEM
+                (q, chunk), lambda c_: (0, c_), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (1, n_out), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, n_out), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1), lambda q_, c_: (q_, 0), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((q, n_out), jnp.int32),

@@ -382,3 +382,59 @@ def test_dedup3_state_config_mismatch_fails_loudly():
         jax.jit(
             lambda s, d: loc.cluster(d, CAL, cfg_s, candidates=s)
         )(state_d2, diff)
+
+
+def test_enqueue_dedup_scatter_matches_sort():
+    """The owner-table enqueue dedup produces the same candidate SET per
+    cloud (different order) and therefore identical foreground through the
+    dedup3_topk selection and cluster()."""
+    import dataclasses
+
+    cfg_sort = dataclasses.replace(
+        CFG, candidate_compaction="dedup3_topk", enqueue_dedup="sort"
+    )
+    cfg_scat = dataclasses.replace(
+        CFG, candidate_compaction="dedup3_topk", enqueue_dedup="scatter"
+    )
+    rng = np.random.default_rng(5)
+
+    def cloud():
+        pts = [
+            _point_at_pixel(
+                rng.uniform(0.5, 60), rng.uniform(0.5, 45), rng.uniform(4, 9)
+            )
+            for _ in range(300)
+        ]
+        # duplicate-heavy: many points on the same pixels
+        pts += pts[:100]
+        return _cloud(pts)
+
+    st_a, st_b = loc.make_state(cfg_sort), loc.make_state(cfg_scat)
+    for _ in range(4):
+        c = cloud()
+        st_a, diff_a = loc.update(st_a, c, CAL, cfg_sort)
+        st_b, diff_b = loc.update(st_b, c, CAL, cfg_scat)
+    np.testing.assert_array_equal(np.asarray(diff_a), np.asarray(diff_b))
+    # Same candidate set per queue row (order may differ).
+    for q in range(cfg_sort.queue_size):
+        a = np.asarray(st_a.pix_queue[q])
+        b = np.asarray(st_b.pix_queue[q])
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+    fa = loc.cluster(diff_a, CAL, cfg_sort, candidates=st_a)
+    fb = loc.cluster(diff_b, CAL, cfg_scat, candidates=st_b)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_enqueue_dedup_scatter_rejects_pallas_compaction():
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(
+        CFG, candidate_compaction="dedup3_pallas", enqueue_dedup="scatter"
+    )
+    state = loc.make_state(cfg)
+    pts = _cloud([_point_at_pixel(0.02, 0.03, 5.0)])
+    with pytest.raises(ValueError, match="sorted"):
+        loc.update(state, pts, CAL, cfg)

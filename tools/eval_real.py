@@ -170,6 +170,10 @@ def main() -> int:
     )
     ap_.add_argument("--conf", type=float, default=None,
                      help="override car conf_thresh")
+    ap_.add_argument("--suffix", default="",
+                     help="checkpoint-name suffix (e.g. '_r4') to evaluate "
+                     "retrain candidates saved with train_synth --suffix "
+                     "without renaming the shipped files")
     ap_.add_argument("--cpu", action="store_true")
     args = ap_.parse_args()
 
@@ -191,6 +195,8 @@ def main() -> int:
 
     car_suffix = "" if args.car_input == 640 else f"_{args.car_input}"
     armor_suffix = "" if args.armor_size == 640 else f"_{args.armor_size}"
+    car_suffix += args.suffix
+    armor_suffix += args.suffix
     car_v = load_variables(
         os.path.join(args.weights, f"car_synth_{args.variant}{car_suffix}.npz")
     )

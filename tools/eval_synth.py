@@ -223,6 +223,13 @@ def main() -> int:
         "headroom; see PERF.md accuracy section)",
     )
     ap.add_argument(
+        "--suffix",
+        default="",
+        help="checkpoint-name suffix (e.g. '_r4') to evaluate retrain "
+        "candidates saved with train_synth --suffix without renaming "
+        "the shipped files",
+    )
+    ap.add_argument(
         "--cpu",
         action="store_true",
         help="force the CPU backend (this image's sitecustomize pins "
@@ -246,7 +253,8 @@ def main() -> int:
     from rm_radar_tpu.detect.detector import RobotDetector
     from rm_radar_tpu.models.weights import load_variables
 
-    car_suffix = "" if args.car_input == 640 else f"_{args.car_input}"
+    car_suffix = ("" if args.car_input == 640 else f"_{args.car_input}")
+    car_suffix += args.suffix
     car_v = load_variables(
         os.path.join(
             args.weights, f"car_synth_{args.variant}{car_suffix}.npz"
@@ -258,12 +266,15 @@ def main() -> int:
         one checkpoint per input shape, like the reference's per-shape
         TensorRT engines), else the 640 baseline checkpoint."""
         sized = os.path.join(
-            args.weights, f"armor_synth_{args.variant}_{size}.npz"
+            args.weights,
+            f"armor_synth_{args.variant}_{size}{args.suffix}.npz",
         )
         if size != 640 and os.path.exists(sized):
             return load_variables(sized)
         return load_variables(
-            os.path.join(args.weights, f"armor_synth_{args.variant}.npz")
+            os.path.join(
+                args.weights, f"armor_synth_{args.variant}{args.suffix}.npz"
+            )
         )
 
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
