@@ -96,6 +96,26 @@ def _draw_glyph(
                 img[ys : ys + cell_h, xs : xs + cell_w] = 235
 
 
+def _draw_glyph_mask(
+    mask: np.ndarray, x0: int, y0: int, gw: int, gh: int, glyph: str
+) -> None:
+    """Like :func:`_draw_glyph` but sets True in a [H, W] bool mask
+    (clipped at the edges) — used for alpha-blended floor markings."""
+    h, w = mask.shape
+    rows = _GLYPHS[glyph]
+    cell_h = max(gh // 7, 1)
+    cell_w = max(gw // 5, 1)
+    for r, row in enumerate(rows):
+        for c, bit in enumerate(row):
+            if bit == "1":
+                ys = y0 + r * cell_h
+                xs = x0 + c * cell_w
+                mask[
+                    max(ys, 0) : min(ys + cell_h, h),
+                    max(xs, 0) : min(xs + cell_w, w),
+                ] = True
+
+
 def _draw_car(
     img: np.ndarray, rng: np.random.Generator, box: Tuple[int, int, int, int],
     label: int,
@@ -244,9 +264,20 @@ def _rot_rect_mask(y, x, cx, cy, a, b, theta):
 
 def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     """Dark textured arena floor: multi-scale tonal noise, facet patches
-    (ramps/walls), thin blue/white lane lines, LED dots, glow strips."""
-    base_lvl = rng.uniform(18, 55)
+    (ramps/walls), thin blue/white lane lines, LED dots, glow strips, and
+    — critically — bright painted floor markings (text glyphs, zone
+    brackets, arrows) as explicit NEGATIVES: the round-4 first arena
+    retrain detected the real frames' "B0" floor text and arrow markings
+    instead of robots (a model trained where the only bright glyphs sit on
+    cars learns glyph-on-dark, not robot), so the background must contain
+    the same distractors. The real floor also reads ~60-130 luminance with
+    a blue/purple cast, not near-black."""
+    base_lvl = rng.uniform(35, 100)
     img = np.full((h, w, 3), base_lvl, np.float32)
+    # blue/purple floor cast (BGR): blue channel lifted, green suppressed
+    img[..., 0] *= rng.uniform(1.1, 1.5)
+    img[..., 1] *= rng.uniform(0.7, 1.0)
+    img[..., 2] *= rng.uniform(0.8, 1.25)
     for cell, amp in ((256, 14), (64, 9), (16, 5)):
         # blur the coarse grid BEFORE kron (same smoothing, 1/cell^2 cost)
         g = rng.normal(0, amp, size=(-(-h // cell) + 2, -(-w // cell) + 2))
@@ -294,6 +325,66 @@ def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
             else np.array([230, 90, 40], np.float32)
         ) * rng.uniform(0.7, 1.1)
         img[sy : sy + sh, sx : sx + sw] = col
+    # Painted floor markings — bright text glyphs with corner brackets
+    # ("B0"-style zone labels), arrows, short glyph runs. These mimic the
+    # real arena's floor text so glyph-on-dark is trained as background.
+    for _ in range(rng.integers(2, 7)):
+        gh_ = int(rng.integers(18, 90))
+        gw_ = int(gh_ * rng.uniform(0.55, 0.8))
+        n_glyphs = int(rng.integers(1, 4))
+        x0 = int(rng.integers(0, max(w - (gw_ + 6) * n_glyphs - 30, 1)))
+        y0 = int(rng.integers(0, max(h - gh_ - 20, 1)))
+        shade = rng.uniform(150, 255)
+        mark = np.zeros((h, w), bool)
+        for g in range(n_glyphs):
+            gx = x0 + g * (gw_ + 6)
+            sub = np.zeros_like(mark)
+            _draw_glyph_mask(sub, gx, y0, gw_, gh_,
+                             str(rng.choice(list("12345S"))))
+            mark |= sub
+        if rng.random() < 0.6:  # corner brackets around the text
+            bx0, by0 = x0 - 12, y0 - 10
+            bx1 = x0 + n_glyphs * (gw_ + 6) + 6
+            by1 = y0 + gh_ + 10
+            t = max(gh_ // 12, 2)
+            ln = max(gh_ // 3, 6)
+            for cx, cy, dx, dy in ((bx0, by0, 1, 1), (bx1 - ln, by0, 1, 1),
+                                   (bx0, by1 - ln, 1, 1),
+                                   (bx1 - ln, by1 - ln, 1, 1)):
+                ys0, xs0 = max(cy, 0), max(cx, 0)
+                mark[ys0 : max(cy + t, 0), xs0 : max(cx + ln, 0)] = True
+                mark[ys0 : max(cy + ln, 0), xs0 : max(cx + t, 0)] = True
+        alpha = rng.uniform(0.55, 1.0)
+        img[mark] = img[mark] * (1 - alpha) + shade * alpha
+    for _ in range(rng.integers(0, 4)):  # white arrow / chevron markings
+        ax = int(rng.integers(20, max(w - 80, 21)))
+        ay = int(rng.integers(20, max(h - 80, 21)))
+        s = int(rng.integers(14, 60))
+        t = max(s // 5, 2)
+        shade = rng.uniform(170, 255)
+        for k in range(s):
+            yy = ay + k
+            if yy >= h:
+                break
+            half = max(s - k, 1) * t // s + 1
+            xs0 = np.clip(ax + k - half, 0, w)
+            xs1 = np.clip(ax + k + half, 0, w)
+            img[yy, xs0:xs1] = shade
+            xs0 = np.clip(ax - k - half, 0, w)
+            xs1 = np.clip(ax - k + half, 0, w)
+            img[yy, xs0:xs1] = shade
+    for _ in range(rng.integers(1, 6)):  # round ceiling/stadium lamps
+        cx = int(rng.integers(0, w))
+        cy = int(rng.integers(0, h))
+        r = int(rng.integers(4, 16))
+        yy, xx = np.ogrid[-r : r + 1, -r : r + 1]
+        disc = (yy * yy + xx * xx) <= r * r
+        ys0, ys1 = max(cy - r, 0), min(cy + r + 1, h)
+        xs0, xs1 = max(cx - r, 0), min(cx + r + 1, w)
+        img[ys0:ys1, xs0:xs1][
+            disc[ys0 - (cy - r) : ys1 - (cy - r),
+                 xs0 - (cx - r) : xs1 - (cx - r)]
+        ] = rng.uniform(220, 255)
     if rng.random() < 0.5:
         band = int(rng.uniform(0.05, 0.22) * h)
         img[:band] = img[:band] * 0.25 + rng.normal(
@@ -342,8 +433,23 @@ def _draw_car_arena(
             team * rng.uniform(0.8, 1.3) + rng.uniform(0, 90), 0, 255
         )
         img[by : by + bh, bx : bx + bw] = glow.astype(np.uint8)
-    pw = int(w * rng.uniform(0.34, 0.55))
-    ph = int(h * rng.uniform(0.26, 0.42))
+    # Grey structural machinery above the wheelbase — the real robots read
+    # as visible mid-grey mechanics, not featureless black boxes; without
+    # this the only bright thing on a car is its glyph, and the model
+    # degenerates to a glyph detector (round-4 lesson: it then detects the
+    # arena's painted floor text instead of robots).
+    for _ in range(rng.integers(1, 4)):
+        sw_ = max(int(w * rng.uniform(0.12, 0.45)), 2)
+        sh_ = max(int(h * rng.uniform(0.08, 0.3)), 2)
+        sx_ = x + int(max(w - sw_, 1) * rng.random())
+        sy_ = top + int(max(y + h - wh - top - sh_, 1) * rng.random())
+        img[sy_ : sy_ + sh_, sx_ : sx_ + sw_] = int(
+            min(body * rng.uniform(1.5, 3.5) + rng.uniform(10, 40), 160)
+        )
+    # Number plate: REAL plates at radar distance are small and often dim
+    # — keep the glyph legible but not the car's dominant feature.
+    pw = int(w * rng.uniform(0.2, 0.4))
+    ph = int(h * rng.uniform(0.18, 0.32))
     pw, ph = max(pw, 8), max(ph, 8)
     px = x + int((w - pw) * rng.uniform(0.2, 0.8))
     py = y + int((h - ph) * rng.uniform(0.45, 0.85))
@@ -357,6 +463,12 @@ def _draw_car_arena(
     gy = py + int(ph * 0.12)
     gh = int(ph * 0.76)
     _draw_glyph(img, gx, gy, gw, gh, _LABEL_GLYPH[label])
+    if rng.random() < 0.5:  # dim plate lighting: scale the glyph down
+        # toward the panel level (distance/exposure variation)
+        plate = img[py : py + ph, px : px + pw].astype(np.float32)
+        img[py : py + ph, px : px + pw] = (
+            plate * rng.uniform(0.45, 0.85)
+        ).astype(np.uint8)
     if rng.random() < 0.2:  # overexposed panel: glyph washes out (real
         # frames show this on bright plates — irreducibly hard labels)
         img[py : py + ph, px : px + pw] = np.clip(

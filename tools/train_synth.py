@@ -78,7 +78,7 @@ def stage_car_batches(args, jax, jnp, rng):
                 CAM_H,
                 CAM_W,
                 max_cars=6,
-                car_size=(60, 420) if arena else (180, 660),
+                car_size=(48, 280) if arena else (180, 660),
                 hard=bool(getattr(args, "hard", False) and rng.random() < 0.5),
                 arena=arena,
             )
