@@ -82,9 +82,14 @@ def _background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 
 
 def _draw_glyph(
-    img: np.ndarray, x0: int, y0: int, gw: int, gh: int, glyph: str
+    img: np.ndarray, x0: int, y0: int, gw: int, gh: int, glyph: str,
+    color=235,
 ) -> None:
-    """White 5x7 glyph block-scaled into [y0:y0+gh, x0:x0+gw]."""
+    """5x7 glyph block-scaled into [y0:y0+gh, x0:x0+gw]. ``color`` is a
+    scalar (white, the flat domain / floor markings) or a BGR triple (the
+    arena domain's LED digits glow in team color — the real frames'
+    plates are lit digits, and digit color vs white is exactly what
+    separates a robot plate from painted floor text)."""
     rows = _GLYPHS[glyph]
     cell_h = max(gh // 7, 1)
     cell_w = max(gw // 5, 1)
@@ -93,7 +98,7 @@ def _draw_glyph(
             if bit == "1":
                 ys = y0 + r * cell_h
                 xs = x0 + c * cell_w
-                img[ys : ys + cell_h, xs : xs + cell_w] = 235
+                img[ys : ys + cell_h, xs : xs + cell_w] = color
 
 
 def _draw_glyph_mask(
@@ -385,11 +390,61 @@ def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
             disc[ys0 - (cy - r) : ys1 - (cy - r),
                  xs0 - (cx - r) : xs1 - (cx - r)]
         ] = rng.uniform(220, 255)
-    if rng.random() < 0.5:
-        band = int(rng.uniform(0.05, 0.22) * h)
+    if rng.random() < 0.8:
+        # Out-of-arena dark band with LIT STRUCTURES as negatives: the
+        # round-4 v2 retrain stopped detecting floor text but instead
+        # detected lit doorways, LED signage and spotlights in the dark
+        # region above the field — bright structure on near-black must be
+        # trained as background too.
+        band = int(rng.uniform(0.08, 0.3) * h)
         img[:band] = img[:band] * 0.25 + rng.normal(
             10, 4, size=img[:band].shape
         )
+        for _ in range(rng.integers(2, 8)):
+            kind = rng.random()
+            sx = int(rng.integers(0, max(w - 160, 1)))
+            sy = int(rng.integers(0, max(band - 40, 1)))
+            if kind < 0.35:  # lit doorway / banner: tall warm rectangle
+                dw_ = int(rng.integers(25, 120))
+                dh_ = int(rng.integers(40, max(band - sy, 41)))
+                col = np.array(
+                    [rng.uniform(40, 120), rng.uniform(120, 210),
+                     rng.uniform(190, 255)], np.float32)  # warm white BGR
+                if rng.random() < 0.4:
+                    col = col[::-1].copy()  # cool variant
+                img[sy : sy + dh_, sx : sx + dw_] = (
+                    col * rng.uniform(0.6, 1.0)
+                )
+            elif kind < 0.65:  # red/blue LED sign panel with dark gaps
+                dw_ = int(rng.integers(60, 260))
+                dh_ = int(rng.integers(15, 70))
+                col = (
+                    np.array([30, 40, 230], np.float32)
+                    if rng.random() < 0.6
+                    else np.array([230, 90, 40], np.float32)
+                )
+                panel = np.tile(col, (dh_, dw_, 1)) * rng.uniform(0.5, 1.0)
+                gap = rng.integers(4, 16)
+                panel[:, :: int(gap)] *= 0.15
+                img[sy : sy + dh_, sx : sx + dw_] = panel[
+                    : max(min(sy + dh_, h) - sy, 0),
+                    : max(min(sx + dw_, w) - sx, 0),
+                ]
+            elif kind < 0.85:  # spotlight blob
+                r = int(rng.integers(6, 22))
+                yy, xx = np.ogrid[-r : r + 1, -r : r + 1]
+                disc = (yy * yy + xx * xx) <= r * r
+                ys1 = min(sy + 2 * r + 1, h)
+                xs1 = min(sx + 2 * r + 1, w)
+                img[sy:ys1, sx:xs1][disc[: ys1 - sy, : xs1 - sx]] = (
+                    rng.uniform(200, 255)
+                )
+            else:  # green exit/status lamps: small bright green runs
+                for g in range(int(rng.integers(2, 6))):
+                    gx2 = min(sx + g * int(rng.integers(8, 30)), w - 4)
+                    img[sy : sy + 4, gx2 : gx2 + 4] = np.array(
+                        [60, 230, 80], np.float32
+                    )
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -409,16 +464,30 @@ def _draw_car_arena(
         tw = int(w * rng.uniform(0.3, 0.6))
         tx = x + int((w - tw) * rng.uniform(0.2, 0.8))
         img[y : top + 2, tx : tx + tw] = int(body * rng.uniform(0.7, 1.3))
-        if rng.random() < 0.4:  # bright top panel (hero-style)
-            img[y:top, tx : tx + tw] = int(rng.uniform(180, 250))
-    wh = max(h // 6, 2)
+    if rng.random() < 0.75:  # glowing cyan/green HEALTH BAR above the
+        # body — every live robot in the real frames carries one
+        bw_ = int(w * rng.uniform(0.25, 0.55))
+        bh_ = max(int(h * rng.uniform(0.03, 0.08)), 2)
+        bx_ = x + int((w - bw_) * rng.uniform(0.25, 0.75))
+        by_ = max(y - (bh_ if rng.random() < 0.4 else 0), 0)
+        hb = np.array(
+            [rng.uniform(120, 220), rng.uniform(210, 255),
+             rng.uniform(60, 160)], np.float32)  # BGR cyan-green
+        img[by_ : by_ + bh_, bx_ : bx_ + bw_] = hb.astype(np.uint8)
+    # Wheel row: 3-4 glowing rings along the base — the real robots' most
+    # salient low-resolution feature (a horizontal run of team-colored
+    # glow discs), not two dim hub patches.
+    wh = max(h // 5, 2)
     img[y + h - wh : y + h, x : x + w] = max(int(body) - 6, 2)
-    for hub in range(2):
-        hx = x + int((0.12 + 0.7 * hub) * w)
-        hw_ = max(w // 10, 2)
-        img[y + h - wh : y + h, hx : hx + hw_] = np.clip(
-            team * rng.uniform(0.5, 1.0), 0, 255
-        ).astype(np.uint8)
+    n_wheels = int(rng.integers(3, 5))
+    for hub in range(n_wheels):
+        hx = x + int((0.08 + 0.84 * hub / max(n_wheels - 1, 1)) * w)
+        hw_ = max(int(w * rng.uniform(0.08, 0.14)), 2)
+        glow_w = np.clip(
+            team.astype(np.float32) * rng.uniform(1.0, 1.6)
+            + rng.uniform(20, 80),
+            0, 255)
+        img[y + h - wh : y + h, hx : hx + hw_] = glow_w.astype(np.uint8)
     for _ in range(rng.integers(1, 5)):
         horizontal = rng.random() < 0.6
         if horizontal:
@@ -462,7 +531,13 @@ def _draw_car_arena(
     gw = int(pw * 0.56)
     gy = py + int(ph * 0.12)
     gh = int(ph * 0.76)
-    _draw_glyph(img, gx, gy, gw, gh, _LABEL_GLYPH[label])
+    # LED digit: glows in team color (toward white-hot at the core range)
+    digit = np.clip(
+        team.astype(np.float32) * rng.uniform(1.0, 1.5)
+        + rng.uniform(40, 140),
+        0, 255,
+    ).astype(np.uint8)
+    _draw_glyph(img, gx, gy, gw, gh, _LABEL_GLYPH[label], color=digit)
     if rng.random() < 0.5:  # dim plate lighting: scale the glyph down
         # toward the panel level (distance/exposure variation)
         plate = img[py : py + ph, px : px + pw].astype(np.float32)
