@@ -84,6 +84,20 @@ class DetectorConfig:
     letterbox_band: int = dataclasses.field(
         default_factory=lambda: _env_int("RM_RADAR_LETTERBOX_BAND", 16)
     )
+    # Tiled (high-resolution) inference. The reference letterboxes the whole
+    # 2592x2048 frame to 640 (detector.cpp:124-158), which shrinks a 62 px
+    # robot — the median size in its own bundled match frames — to ~15 px,
+    # far below the scale any of this repo's synthetic training renders.
+    # ``tile > 0`` instead slides a tile x tile window (step tile -
+    # tile_overlap) over the source at NATIVE resolution, runs the model on
+    # every tile as one batch, and merges via a global class-aware NMS in
+    # source coordinates. Detections within ``tile_border_margin`` px of an
+    # interior tile edge are dropped before the merge (the neighbor tile
+    # sees them whole — guaranteed for objects up to tile_overlap -
+    # 2*margin px). 0 = whole-image letterbox (reference parity, default).
+    tile: int = 0
+    tile_overlap: int = 192
+    tile_border_margin: int = 8
 
     @property
     def num_anchors(self) -> int:
@@ -140,6 +154,13 @@ class RobotDetectorConfig:
     # copies cheap). The bench alarms whenever a run approaches either pool.
     car_nms_top_k: int = 1024
     armor_nms_top_k: int = 512
+    # Car-stage tiled inference (see DetectorConfig.tile). The armor stage
+    # needs no tiling: it crops each car from the ORIGINAL full-resolution
+    # image and letterboxes the crop, so its object scale is normalized by
+    # construction regardless of how far the robot is.
+    car_tile: int = 0
+    car_tile_overlap: int = 192
+    tile_border_margin: int = 8
 
     def car_config(self) -> DetectorConfig:
         return DetectorConfig(
@@ -152,6 +173,9 @@ class RobotDetectorConfig:
             max_detections=self.max_cars,
             letterbox_band=self.letterbox_band,
             nms_top_k=self.car_nms_top_k,
+            tile=self.car_tile,
+            tile_overlap=self.car_tile_overlap,
+            tile_border_margin=self.tile_border_margin,
         )
 
     def armor_config(self) -> DetectorConfig:

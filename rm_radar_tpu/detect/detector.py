@@ -31,7 +31,7 @@ import numpy as np
 from ..configs import DetectorConfig, RobotDetectorConfig
 from ..geometry import union_iou
 from ..models.yolov8 import create_model, init_params
-from ..ops.detect_ops import postprocess
+from ..ops.detect_ops import nms, postprocess
 from ..ops.preprocess import (
     letterbox,
     letterbox_crop,
@@ -39,6 +39,20 @@ from ..ops.preprocess import (
     letterbox_s2d,
 )
 from ..types import Array, Detections, RobotBatch, TrackState
+
+
+def _tile_starts(size: int, tile: int, stride: int) -> list:
+    """Start offsets of a sliding ``tile`` window covering [0, size) with
+    step ``stride``; the last tile is clamped flush to the far edge so the
+    whole extent is covered with no short tile."""
+    if tile >= size:
+        return [0]
+    if stride <= 0:
+        raise ValueError(f"tile overlap >= tile size ({tile=}, {stride=})")
+    starts = list(range(0, size - tile + 1, stride))
+    if starts[-1] != size - tile:
+        starts.append(size - tile)
+    return starts
 
 
 class Detector:
@@ -194,6 +208,127 @@ class Detector:
         if key not in self._jitted:
             self._jitted[key] = jax.jit(jax.vmap(self.detect_fn))
         return self._jitted[key](images)
+
+    def detect_tiled_fn(
+        self,
+        image: Array,
+        max_detections: int | None = None,
+        with_stats: bool = False,
+        tile: int | None = None,
+        overlap: int | None = None,
+        border_margin: int | None = None,
+    ):
+        """Tiled high-resolution detection (traceable): slide a native-res
+        ``tile`` x ``tile`` window over the image, run the model on all
+        tiles as ONE batch, and merge with a global class-aware NMS.
+
+        Rationale: the reference letterboxes the full 2592x2048 frame to the
+        model input (detector.cpp:124-158), which makes a median 62 px robot
+        from its own bundled match frames ~15 px at 640 — below the scale
+        any detector trained at normal object sizes responds to. Native-res
+        tiles keep the object scale inside the training distribution. The
+        whole thing is still one fused XLA program: tile extraction is N
+        static slices (grid depends only on the static image shape), the
+        model runs once at batch N, and the merge NMS reuses
+        :func:`ops.detect_ops.nms` over the pooled per-tile survivors.
+
+        Merge semantics: per-tile survivors are restored to tile coordinates,
+        detections within ``border_margin`` px of an *interior* tile edge
+        are dropped (the neighboring tile sees them whole — guaranteed for
+        objects up to ``overlap - 2*margin`` px; larger objects may be
+        suppressed everywhere, so size ``overlap`` to the largest expected
+        object), shifted to source coordinates, and deduplicated by the same
+        strictly-higher-confidence class-aware NMS the per-image path uses
+        (equal-confidence cross-tile ties keep both, like the reference's
+        kernel, detector.cu:341-357).
+
+        ``with_stats=True`` returns (Detections, n_candidates) where
+        n_candidates is the MAX over tiles of above-conf_thresh anchors —
+        the per-tile NMS pool is what saturates (each tile runs its own
+        top-K pass).
+        """
+        cfg = self.config
+        T = tile if tile is not None else (cfg.tile or max(cfg.input_height, cfg.input_width))
+        ov = overlap if overlap is not None else cfg.tile_overlap
+        margin = (
+            border_margin
+            if border_margin is not None
+            else cfg.tile_border_margin
+        )
+        m_det = max_detections if max_detections is not None else cfg.max_detections
+        src_h, src_w = image.shape[0], image.shape[1]
+        if src_h <= T and src_w <= T:
+            return self.detect_fn(image, m_det, with_stats)
+        ys = _tile_starts(src_h, T, T - ov)
+        xs = _tile_starts(src_w, T, T - ov)
+        offsets = [(ty, tx) for ty in ys for tx in xs]
+        tiles = jnp.stack(
+            [
+                jax.lax.slice(image, (ty, tx, 0), (ty + T, tx + T, 3))
+                for ty, tx in offsets
+            ]
+        )
+        per_tile = jax.vmap(
+            lambda im: self.detect_fn(im, m_det, with_stats=True)
+        )(tiles)
+        dets, n_cand = per_tile  # Detections [N, m_det, ...], [N]
+
+        # Interior-border suppression in tile coordinates. Static per-tile
+        # flags: an edge is interior unless the tile touches the image edge.
+        il = np.array([tx > 0 for _, tx in offsets])
+        ir = np.array([tx + T < src_w for _, tx in offsets])
+        it = np.array([ty > 0 for ty, _ in offsets])
+        ib = np.array([ty + T < src_h for ty, _ in offsets])
+        x0 = dets.xywh[..., 0]
+        y0 = dets.xywh[..., 1]
+        x1 = x0 + dets.xywh[..., 2]
+        y1 = y0 + dets.xywh[..., 3]
+        cut = (
+            (il[:, None] & (x0 <= margin))
+            | (ir[:, None] & (x1 >= T - margin))
+            | (it[:, None] & (y0 <= margin))
+            | (ib[:, None] & (y1 >= T - margin))
+        )
+        valid = dets.valid & ~cut
+
+        # Shift to source coordinates and pool across tiles.
+        shift = jnp.asarray(
+            [[tx, ty, 0, 0] for ty, tx in offsets], dets.xywh.dtype
+        )
+        pool_xywh = (dets.xywh + shift[:, None, :]).reshape(-1, 4)
+        pool_label = dets.label.reshape(-1)
+        # Invalid slots get confidence -1: strictly below any conf_thresh,
+        # so the merge NMS can neither keep nor suppress with them.
+        pool_conf = jnp.where(valid, dets.confidence, -1.0).reshape(-1)
+        merged = nms(
+            pool_xywh,
+            pool_label,
+            pool_conf,
+            cfg.nms_thresh,
+            cfg.conf_thresh,
+            top_k=pool_xywh.shape[0],
+            max_detections=m_det,
+        )
+        if with_stats:
+            return merged, jnp.max(n_cand).astype(jnp.int32)
+        return merged
+
+    def detect_tiled(
+        self,
+        image: np.ndarray,
+        tile: int | None = None,
+        overlap: int | None = None,
+    ) -> Detections:
+        """Host convenience wrapper for :meth:`detect_tiled_fn` with a
+        per-(shape, grid) jit cache."""
+        key = ("tiled", image.shape, image.dtype.str, tile, overlap)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    self.detect_tiled_fn, tile=tile, overlap=overlap
+                )
+            )
+        return self._jitted[key](image)
 
 
 def _classify_car(
@@ -417,6 +552,49 @@ class RobotDetector:
         cars_all, car_candidates = self.car.detect_fn(
             image, max_detections=probe_cap, with_stats=True
         )
+        return self._cascade_fn(
+            image, cars_all, car_candidates, max_cars, crop_window
+        )
+
+    def detect_tiled_fn(
+        self,
+        image: Array,
+        max_cars: int | None = None,
+        crop_window: int | None = None,
+        tile: int | None = None,
+        overlap: int | None = None,
+    ) -> RobotBatch:
+        """Cascade with a TILED car stage (Detector.detect_tiled_fn): the
+        high-resolution mode for full-frame radar cameras where robots are
+        tens of pixels. The armor stage is unchanged — it already crops each
+        car from the original full-resolution image, so its object scale is
+        normalized regardless of distance. Still one fused XLA program."""
+        cfg = self.config
+        if max_cars is None:
+            max_cars = cfg.max_cars
+        probe_cap = max(cfg.max_cars, max_cars)
+        cars_all, car_candidates = self.car.detect_tiled_fn(
+            image,
+            max_detections=probe_cap,
+            with_stats=True,
+            tile=tile,
+            overlap=overlap,
+        )
+        return self._cascade_fn(
+            image, cars_all, car_candidates, max_cars, crop_window
+        )
+
+    def _cascade_fn(
+        self,
+        image: Array,
+        cars_all: Detections,
+        car_candidates: Array,
+        max_cars: int,
+        crop_window: int | None,
+    ) -> RobotBatch:
+        """Armor stage + robot assembly from a car-stage result (shared by
+        the whole-image and tiled car paths)."""
+        cfg = self.config
         n_cars_true = cars_all.count()
         # Top-`max_cars` by confidence: the NMS compaction is sorted by
         # confidence (ties keep the lower pool index, like a direct
@@ -542,4 +720,19 @@ class RobotDetector:
         key = (image.shape, image.dtype.str)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self.detect_fn)
+        return self._jitted[key](image)
+
+    def detect_tiled(
+        self,
+        image: np.ndarray,
+        tile: int | None = None,
+        overlap: int | None = None,
+    ) -> RobotBatch:
+        key = ("tiled", image.shape, image.dtype.str, tile, overlap)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                functools.partial(
+                    self.detect_tiled_fn, tile=tile, overlap=overlap
+                )
+            )
         return self._jitted[key](image)

@@ -267,16 +267,160 @@ def _rot_rect_mask(y, x, cx, cy, a, b, theta):
     return (np.abs(dx * ct + dy * st) < a) & (np.abs(-dx * st + dy * ct) < b)
 
 
+def _led_strip(dr, rng, a, b, col, t: int) -> None:
+    """Segmented bright LED strip from a to b (gaps every few tens of px,
+    like the real arena's edge lighting)."""
+    length = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+    n = max(int(length / rng.uniform(60, 160)), 1)
+    for i in range(n):
+        f0 = i / n
+        f1 = f0 + rng.uniform(0.55, 0.97) / n
+        p0 = (a[0] + (b[0] - a[0]) * f0, a[1] + (b[1] - a[1]) * f0)
+        p1 = (a[0] + (b[0] - a[0]) * f1, a[1] + (b[1] - a[1]) * f1)
+        dr.line([p0, p1], fill=col, width=t)
+
+
+def _draw_arena_structures(
+    img: np.ndarray, rng: np.random.Generator, h: int, w: int
+) -> np.ndarray:
+    """3D terrain structures + stadium lighting as NEGATIVES (v4).
+
+    The v3 arena retrain fired at 0.95+ confidence on exactly four kinds of
+    real structure (tools/eval_real.py FP crops, round 4): raised terrain
+    blocks whose edges carry bright red/blue LED strips, overexposed white
+    ball lamps on dark posts, thick bright blue painted floor lines, and
+    red zigzag LED polylines — none of which the v3 background contained at
+    that scale or intensity. Each is drawn here, via PIL (C-speed polygon
+    and wide-line fills on the camera-res canvas). Colors are BGR tuples:
+    the array is BGR, PIL just doesn't know it.
+    """
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    dr = ImageDraw.Draw(im)
+    red, blue = (30, 40, 235), (235, 110, 50)
+    base = float(img.mean())
+    # Raised terrain platforms: light top facet, dark side facet, LED strip
+    # along the front edge (the dominant real FP at 150-600 px scale).
+    for _ in range(int(rng.integers(3, 9))):
+        cx = rng.uniform(0, w)
+        cy = rng.uniform(h * 0.2, h * 0.95)
+        pw = rng.uniform(0.08, 0.45) * w
+        ph = rng.uniform(0.03, 0.16) * h
+        skew = rng.uniform(-0.3, 0.3) * pw
+        p0 = (cx - pw / 2 + skew, cy - ph / 2)
+        p1 = (cx + pw / 2 + skew, cy - ph / 2)
+        p2 = (cx + pw / 2, cy + ph / 2)
+        p3 = (cx - pw / 2, cy + ph / 2)
+        lvl = base * rng.uniform(1.05, 1.8) + rng.uniform(0, 20)
+        top_col = tuple(
+            int(np.clip(lvl * f, 0, 255)) for f in (1.3, 0.95, 1.05)
+        )
+        dr.polygon([p0, p1, p2, p3], fill=top_col)
+        sh = rng.uniform(0.02, 0.09) * h
+        s_lvl = base * rng.uniform(0.3, 0.7)
+        side_col = tuple(
+            int(np.clip(s_lvl * f, 0, 255)) for f in (1.2, 0.9, 1.0)
+        )
+        dr.polygon(
+            [p3, p2, (p2[0], p2[1] + sh), (p3[0], p3[1] + sh)],
+            fill=side_col,
+        )
+        col = red if rng.random() < 0.6 else blue
+        t = int(rng.integers(3, 9))
+        if rng.random() < 0.9:  # front-edge strip
+            _led_strip(dr, rng, p3, p2, col, t)
+        if rng.random() < 0.5:  # far-edge strip
+            _led_strip(dr, rng, p0, p1, col, t)
+        if rng.random() < 0.35 and sh > 8:  # dark opening in the side
+            # facet with a red rim
+            ow = max(rng.uniform(0.1, 0.3) * pw, 4.0)
+            ox = rng.uniform(p3[0] + 4, max(p2[0] - ow - 4, p3[0] + 5))
+            oy = p3[1] + 2
+            dr.rectangle(
+                [ox, oy, ox + ow, oy + sh - 2], fill=(8, 8, 12),
+                outline=red, width=max(t // 2, 2),
+            )
+    # Totem pillars: dark post with paired bright vertical strips and a
+    # glowing orb (the real frames' lit pillars / exchange stations).
+    for _ in range(int(rng.integers(0, 4))):
+        tx = rng.uniform(0, max(w - 60, 1))
+        ty = rng.uniform(0, h * 0.8)
+        tw_ = rng.uniform(18, min(80, max(w / 6, 20)))
+        th_ = rng.uniform(2.0, 4.5) * tw_
+        dr.rectangle([tx, ty, tx + tw_, ty + th_], fill=(14, 12, 16))
+        col = red if rng.random() < 0.7 else blue
+        for fx in (0.2, 0.75):
+            sx = tx + fx * tw_
+            dr.line(
+                [(sx, ty + 0.15 * th_), (sx, ty + th_)],
+                fill=col, width=max(int(tw_ * 0.12), 2),
+            )
+        if rng.random() < 0.6:  # glowing orb near the top
+            r = tw_ * rng.uniform(0.2, 0.4)
+            ox, oy = tx + tw_ / 2, ty + 0.1 * th_
+            oc = (
+                (80, 235, 120) if rng.random() < 0.4
+                else (250, 250, 250)
+            )
+            dr.ellipse([ox - r, oy - r, ox + r, oy + r], fill=oc)
+    # Overexposed white ball lamps on dark posts (stage lighting).
+    for _ in range(int(rng.integers(1, 5))):
+        r = rng.uniform(8, min(40, max(w / 6, 10)))
+        lx = rng.uniform(r, max(w - r, r + 1))
+        ly = rng.uniform(r, h * 0.7)
+        dr.rectangle(
+            [lx - r * 0.15, ly, lx + r * 0.15, ly + r * rng.uniform(2, 5)],
+            fill=(10, 10, 10),
+        )
+        dr.ellipse(
+            [lx - r, ly - r, lx + r, ly + r], fill=(255, 255, 255)
+        )
+    # Thick bright blue painted floor lines, often parallel pairs.
+    for _ in range(int(rng.integers(1, 5))):
+        theta = rng.uniform(0, np.pi)
+        cx = rng.uniform(0, w)
+        cy = rng.uniform(h * 0.3, h)
+        dx, dy = np.cos(theta), np.sin(theta)
+        ext = w + h
+        t = int(rng.integers(5, 16))
+        a = (cx - dx * ext, cy - dy * ext)
+        b = (cx + dx * ext, cy + dy * ext)
+        dr.line([a, b], fill=blue, width=t)
+        if rng.random() < 0.6:  # parallel twin
+            off = t * rng.uniform(1.5, 4.0)
+            dr.line(
+                [(a[0] - dy * off, a[1] + dx * off),
+                 (b[0] - dy * off, b[1] + dx * off)],
+                fill=blue, width=t,
+            )
+    # Red zigzag LED polylines (right-angle corner runs on dark walls).
+    for _ in range(int(rng.integers(0, 3))):
+        px = rng.uniform(0, w)
+        py = rng.uniform(0, h)
+        t = int(rng.integers(3, 8))
+        pts = [(px, py)]
+        horiz = rng.random() < 0.5
+        for _seg in range(int(rng.integers(2, 6))):
+            step = rng.uniform(40, 260) * (1 if rng.random() < 0.7 else -1)
+            px, py = (px + step, py) if horiz else (px, py + step)
+            horiz = not horiz
+            pts.append((px, py))
+        dr.line(pts, fill=red, width=t, joint="curve")
+    return np.asarray(im, np.uint8).astype(np.float32)
+
+
 def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
     """Dark textured arena floor: multi-scale tonal noise, facet patches
-    (ramps/walls), thin blue/white lane lines, LED dots, glow strips, and
-    — critically — bright painted floor markings (text glyphs, zone
-    brackets, arrows) as explicit NEGATIVES: the round-4 first arena
-    retrain detected the real frames' "B0" floor text and arrow markings
-    instead of robots (a model trained where the only bright glyphs sit on
-    cars learns glyph-on-dark, not robot), so the background must contain
-    the same distractors. The real floor also reads ~60-130 luminance with
-    a blue/purple cast, not near-black."""
+    (ramps/walls), 3D terrain structures with LED-strip edges + stadium
+    lighting (v4, see _draw_arena_structures), thin blue/white lane lines,
+    LED dots, glow strips, and — critically — bright painted floor
+    markings (text glyphs, zone brackets, arrows) as explicit NEGATIVES:
+    the round-4 first arena retrain detected the real frames' "B0" floor
+    text and arrow markings instead of robots (a model trained where the
+    only bright glyphs sit on cars learns glyph-on-dark, not robot), so
+    the background must contain the same distractors. The real floor also
+    reads ~60-130 luminance with a blue/purple cast, not near-black."""
     base_lvl = rng.uniform(35, 100)
     img = np.full((h, w, 3), base_lvl, np.float32)
     # blue/purple floor cast (BGR): blue channel lifted, green suppressed
@@ -295,6 +439,7 @@ def _background_arena(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
         b = rng.uniform(h * 0.03, h * 0.25)
         m = _rot_rect_mask(y, x, cx, cy, a, b, rng.uniform(0, np.pi))
         img[m] += rng.uniform(-18, 30)
+    img = _draw_arena_structures(img, rng, h, w)
     for _ in range(rng.integers(3, 9)):
         theta = rng.uniform(0, np.pi)
         c = rng.uniform(-0.3, 1.3) * (
@@ -488,14 +633,19 @@ def _draw_car_arena(
             + rng.uniform(20, 80),
             0, 255)
         img[y + h - wh : y + h, hx : hx + hw_] = glow_w.astype(np.uint8)
-    for _ in range(rng.integers(1, 5)):
+    # Extra glow patches: FEW and COMPACT (v4). Long bright bars were the
+    # v3 cars' dominant feature — and exactly what the arena's LED-strip
+    # structure edges look like, which is why the v3 model fired at 0.95+
+    # confidence on terrain edges (eval_real FP crops). The discriminative
+    # robot signature is a compact CLUSTER of small glows, not a strip.
+    for _ in range(rng.integers(0, 3)):
         horizontal = rng.random() < 0.6
         if horizontal:
-            bw = int(w * rng.uniform(0.25, 0.9))
-            bh = max(int(h * rng.uniform(0.04, 0.12)), 2)
+            bw = int(w * rng.uniform(0.12, 0.45))
+            bh = max(int(h * rng.uniform(0.04, 0.1)), 2)
         else:
-            bw = max(int(w * rng.uniform(0.04, 0.12)), 2)
-            bh = int(h * rng.uniform(0.2, 0.6))
+            bw = max(int(w * rng.uniform(0.04, 0.1)), 2)
+            bh = int(h * rng.uniform(0.15, 0.4))
         bx = x + int(max(w - bw, 1) * rng.random())
         by = top + int(max(y + h - top - bh, 1) * rng.random())
         glow = np.clip(

@@ -1,0 +1,214 @@
+"""Tiled (high-resolution) detection: grid math, merge semantics, and
+cascade accuracy on large canvases.
+
+The reference letterboxes its full 2592x2048 match frames to the model
+input (detector.cpp:124-158), shrinking a median 62 px robot (its own
+bundled frames, assets/labels/real_frames.json) to ~15 px. The tiled mode
+(detect/detector.py::Detector.detect_tiled_fn) slides native-resolution
+tiles instead, keeping objects at trained scale, and merges with a global
+class-aware NMS. These tests pin the grid/merge machinery and prove the
+accuracy claim on synthetic large canvases where ground truth is exact.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from rm_radar_tpu.configs import DetectorConfig, RobotDetectorConfig
+from rm_radar_tpu.detect.detector import (
+    Detector,
+    RobotDetector,
+    _tile_starts,
+)
+from rm_radar_tpu.models.weights import load_variables
+from rm_radar_tpu.train import synth
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "models")
+
+
+def test_tile_starts_covers_extent():
+    for size, tile, stride in [
+        (2592, 512, 320),
+        (2048, 512, 320),
+        (800, 512, 320),
+        (513, 512, 320),
+        (1024, 512, 512),
+    ]:
+        starts = _tile_starts(size, tile, stride)
+        assert starts[0] == 0
+        assert starts[-1] == size - tile  # flush far edge, full coverage
+        assert all(b - a <= stride for a, b in zip(starts, starts[1:]))
+        covered = np.zeros(size, bool)
+        for s in starts:
+            covered[s : s + tile] = True
+        assert covered.all()
+
+
+def test_tile_starts_degenerate():
+    assert _tile_starts(400, 512, 320) == [0]
+    assert _tile_starts(512, 512, 320) == [0]
+    with pytest.raises(ValueError):
+        _tile_starts(1024, 512, 0)
+
+
+def test_small_image_delegates_to_plain_path():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (300, 360, 3), np.uint8)
+    det = Detector(
+        DetectorConfig(input_width=256, input_height=256, conf_thresh=0.01),
+        variant="n",
+        dtype=jnp.float32,
+    )
+    a = jax.device_get(det.detect_tiled(img, tile=512))
+    b = jax.device_get(det.detect(img))
+    np.testing.assert_array_equal(a.xywh, b.xywh)
+    np.testing.assert_array_equal(a.valid, b.valid)
+
+
+def _paste_scene_on_canvas(rng, canvas_h, canvas_w, n_cars, seed_scene):
+    """Large canvas with trained-scale cars at known positions: render one
+    synth scene per car on a small canvas and paste it, tracking the global
+    car boxes. Uses the classic field domain — the one car_synth_n.npz was
+    trained on (the arena-domain checkpoints are the m ones)."""
+    canvas = synth._background(rng, canvas_h, canvas_w)
+    boxes = []
+    cell_h, cell_w = 320, 320
+    cols = canvas_w // cell_w
+    cells = rng.permutation(cols * (canvas_h // cell_h))[:n_cars]
+    for ci in cells:
+        cy, cx = divmod(int(ci), cols)
+        sc = synth.make_scene(
+            rng, cell_h, cell_w, n_cars=1, car_size=(60, 140)
+        )
+        if len(sc.car_xywh) == 0:
+            continue
+        y0, x0 = cy * cell_h, cx * cell_w
+        canvas[y0 : y0 + cell_h, x0 : x0 + cell_w] = sc.image
+        x, y, w, h = sc.car_xywh[0]
+        boxes.append((x + x0, y + y0, w, h))
+    return canvas, np.array(boxes, np.float32)
+
+
+def _iou(a, b):
+    ax0, ay0, aw, ah = a
+    bx0, by0, bw, bh = b
+    ix = max(0.0, min(ax0 + aw, bx0 + bw) - max(ax0, bx0))
+    iy = max(0.0, min(ay0 + ah, by0 + bh) - max(ay0, by0))
+    inter = ix * iy
+    return inter / max(aw * ah + bw * bh - inter, 1e-9)
+
+
+@pytest.mark.slow
+def test_tiled_recall_on_large_canvas():
+    """Cars at trained scale on a 1280x1024 canvas: the tiled car stage must
+    find them; each GT is matched by exactly one detection (cross-tile
+    duplicates merged); boxes land at the right global coordinates."""
+    rng = np.random.default_rng(42)
+    canvas, gts = _paste_scene_on_canvas(rng, 1024, 1280, 6, 42)
+    det = Detector(
+        DetectorConfig(
+            input_width=640,
+            input_height=640,
+            conf_thresh=0.25,
+            max_detections=16,
+        ),
+        variant="n",
+        variables=load_variables(os.path.join(WEIGHTS_DIR, "car_synth_n.npz")),
+        dtype=jnp.float32,
+    )
+    out = jax.device_get(det.detect_tiled(canvas, tile=640, overlap=192))
+    dets = [
+        (float(out.confidence[i]), np.asarray(out.xywh[i], np.float64))
+        for i in range(len(out.valid))
+        if out.valid[i]
+    ]
+    matched = 0
+    for g in gts:
+        hits = [d for _, d in dets if _iou(d, g) >= 0.5]
+        assert len(hits) <= 1, (g, hits)  # no cross-tile duplicates
+        matched += bool(hits)
+    assert matched >= len(gts) - 1, (matched, len(gts), dets)
+    # every detection is inside the canvas
+    for _, d in dets:
+        assert d[0] >= -1 and d[1] >= -1
+        assert d[0] + d[2] <= 1280 + 1 and d[1] + d[3] <= 1024 + 1
+
+
+@pytest.mark.slow
+def test_tiled_merges_overlap_zone_car():
+    """A car placed dead-center on the seam between two tiles (fully inside
+    both tiles' overlap) must come out exactly once."""
+    rng = np.random.default_rng(7)
+    canvas = synth._background(rng, 640, 1088)
+    # tile=640, overlap=192 over width 1088 -> starts [0, 448]; overlap zone
+    # x in [448, 640). Render a car centered at x ~ 540.
+    sc = synth.make_scene(rng, 320, 320, n_cars=1, car_size=(90, 120))
+    x, y, w, h = sc.car_xywh[0]
+    ox, oy = int(544 - 160), 160
+    canvas[oy : oy + 320, ox : ox + 320] = sc.image
+    g = np.array([x + ox, y + oy, w, h])
+    assert g[0] > 448 + 8 and g[0] + g[2] < 640 - 8, g  # inside both tiles
+    det = Detector(
+        DetectorConfig(
+            input_width=640,
+            input_height=640,
+            conf_thresh=0.25,
+            max_detections=16,
+        ),
+        variant="n",
+        variables=load_variables(os.path.join(WEIGHTS_DIR, "car_synth_n.npz")),
+        dtype=jnp.float32,
+    )
+    out = jax.device_get(det.detect_tiled(canvas, tile=640, overlap=192))
+    hits = [
+        np.asarray(out.xywh[i])
+        for i in range(len(out.valid))
+        if out.valid[i] and _iou(np.asarray(out.xywh[i], np.float64), g) >= 0.5
+    ]
+    assert len(hits) == 1, (g, hits)
+
+
+@pytest.mark.slow
+def test_tiled_cascade_classifies_labels():
+    """Full RobotDetector.detect_tiled on a large canvas: the armor stage
+    (which crops from the ORIGINAL image at native resolution) must still
+    classify labels for tiled car detections."""
+    rng = np.random.default_rng(11)
+    canvas, gts = _paste_scene_on_canvas(rng, 1024, 1280, 4, 11)
+    rd = RobotDetector(
+        RobotDetectorConfig(
+            max_cars=8,
+            input_width=640,
+            input_height=640,
+            armor_input_width=640,
+            armor_input_height=640,
+            car_tile=640,
+            car_tile_overlap=192,
+        ),
+        car_variant="n",
+        armor_variant="n",
+        car_variables=load_variables(
+            os.path.join(WEIGHTS_DIR, "car_synth_n.npz")
+        ),
+        armor_variables=load_variables(
+            os.path.join(WEIGHTS_DIR, "armor_synth_n.npz")
+        ),
+        dtype=jnp.float32,
+    )
+    rb = jax.device_get(rd.detect_tiled(canvas))
+    found = [
+        (np.asarray(rb.rect[i], np.float64), int(rb.label[i]))
+        for i in range(len(rb.valid))
+        if rb.valid[i]
+    ]
+    matched = sum(
+        any(_iou(r, g) >= 0.5 for r, _ in found) for g in gts
+    )
+    assert matched >= len(gts) - 1, (matched, len(gts))
+    assert any(lab >= 0 for _, lab in found), found  # labels classified

@@ -35,7 +35,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BLUE = {0, 1, 2, 3, 4, 10}
 
 
-def load_frames(image_dir: str):
+def load_frames(image_dir: str, frame_ids=None):
+    """``frame_ids``: optional set of int frame ids (e.g. the held-out
+    split of tools/train_real.py); None = all 10."""
     from PIL import Image
 
     labels = json.load(
@@ -43,6 +45,10 @@ def load_frames(image_dir: str):
     )
     frames = []
     for name, boxes in sorted(labels["frames"].items()):
+        if frame_ids is not None and (
+            int(os.path.splitext(name)[0]) not in frame_ids
+        ):
+            continue
         path = os.path.join(image_dir, name)
         rgb = np.asarray(Image.open(path).convert("RGB"))
         bgr = np.ascontiguousarray(rgb[..., ::-1])  # cv::imread order
@@ -50,15 +56,21 @@ def load_frames(image_dir: str):
     return frames
 
 
-def evaluate(detector, frames, iou_thresh: float = 0.5) -> dict:
+def evaluate(detector, frames, iou_thresh: float = 0.5, tiled: bool = False) -> dict:
     """Greedy confidence-ordered matching per frame with ignore-region
     semantics (a detection matching only an ignore box is dropped from both
-    TP and FP counts, the standard crowd-region convention)."""
+    TP and FP counts, the standard crowd-region convention).
+
+    ``tiled=True`` runs the car stage on native-resolution tiles
+    (RobotDetector.detect_tiled) — the scale-matched mode for these frames,
+    whose median robot is 62 px in 2592x2048 (= ~12 px letterboxed to 512,
+    outside any trained object-scale distribution)."""
     import jax
 
     per_frame = []
     for name, image, boxes in frames:
-        host = jax.device_get(detector.detect(image))
+        rb = detector.detect_tiled(image) if tiled else detector.detect(image)
+        host = jax.device_get(rb)
         dets = [
             (
                 float(host.confidence[i]),
@@ -175,6 +187,18 @@ def main() -> int:
                      "retrain candidates saved with train_synth --suffix "
                      "without renaming the shipped files")
     ap_.add_argument("--cpu", action="store_true")
+    ap_.add_argument("--tiled", action="store_true",
+                     help="tiled car stage at native resolution (tile = "
+                     "car input size, overlap 192)")
+    ap_.add_argument("--frames", default="",
+                     help="comma-separated frame ids to evaluate (e.g. "
+                     "'5,6,7,8,9' for the train_real.py held-out split); "
+                     "empty = all 10")
+    ap_.add_argument("--car-npz", default="",
+                     help="explicit car checkpoint path (overrides the "
+                     "variant/size naming, e.g. a train_real.py output)")
+    ap_.add_argument("--armor-npz", default="",
+                     help="explicit armor checkpoint path")
     args = ap_.parse_args()
 
     if args.cpu:
@@ -198,10 +222,14 @@ def main() -> int:
     car_suffix += args.suffix
     armor_suffix += args.suffix
     car_v = load_variables(
-        os.path.join(args.weights, f"car_synth_{args.variant}{car_suffix}.npz")
+        args.car_npz
+        or os.path.join(
+            args.weights, f"car_synth_{args.variant}{car_suffix}.npz"
+        )
     )
     armor_v = load_variables(
-        os.path.join(
+        args.armor_npz
+        or os.path.join(
             args.weights, f"armor_synth_{args.variant}{armor_suffix}.npz"
         )
     )
@@ -224,8 +252,11 @@ def main() -> int:
         armor_variables=armor_v,
     )
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
-    frames = load_frames(args.images)
-    metrics = evaluate(det, frames)
+    ids = (
+        {int(x) for x in args.frames.split(",")} if args.frames else None
+    )
+    frames = load_frames(args.images, ids)
+    metrics = evaluate(det, frames, tiled=args.tiled)
     print(json.dumps(metrics, indent=1))
     return 0
 
