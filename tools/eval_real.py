@@ -56,7 +56,13 @@ def load_frames(image_dir: str, frame_ids=None):
     return frames
 
 
-def evaluate(detector, frames, iou_thresh: float = 0.5, tiled: bool = False) -> dict:
+def evaluate(
+    detector,
+    frames,
+    iou_thresh: float = 0.5,
+    tiled: bool = False,
+    dump_path: str = "",
+) -> dict:
     """Greedy confidence-ordered matching per frame with ignore-region
     semantics (a detection matching only an ignore box is dropped from both
     TP and FP counts, the standard crowd-region convention).
@@ -136,6 +142,32 @@ def evaluate(detector, frames, iou_thresh: float = 0.5, tiled: bool = False) -> 
         return float(out)
 
     tp, ignored, matches = match_all(iou_thresh)
+    if dump_path:
+        matched = {(f, i) for f, i, _ in matches}
+        dump = {}
+        for f, (name, dets, gts, igns) in enumerate(per_frame):
+            dump[name] = {
+                "detections": [
+                    {
+                        "xywh": [round(float(v), 1) for v in rect],
+                        "conf": round(conf, 3),
+                        "label": label,
+                        "armor_detected": det_flag,
+                        "matched": (f, i) in matched,
+                        "best_gt_iou": round(
+                            max(
+                                (iou_xywh(rect, g["xywh"]) for g in gts),
+                                default=0.0,
+                            ),
+                            3,
+                        ),
+                    }
+                    for i, (conf, rect, det_flag, label) in enumerate(dets)
+                ],
+                "gt": gts,
+            }
+        json.dump(dump, open(dump_path, "w"), indent=1)
+        print(f"dumped per-frame detections to {dump_path}", file=sys.stderr)
     n_det = int((~ignored).sum())
     n_tp = int(tp[~ignored].sum())
     label_hits = label_total = 0
@@ -199,6 +231,9 @@ def main() -> int:
                      "variant/size naming, e.g. a train_real.py output)")
     ap_.add_argument("--armor-npz", default="",
                      help="explicit armor checkpoint path")
+    ap_.add_argument("--dump", default="",
+                     help="write per-frame detections + GT to this JSON "
+                     "path (failure analysis)")
     args = ap_.parse_args()
 
     if args.cpu:
@@ -256,7 +291,7 @@ def main() -> int:
         {int(x) for x in args.frames.split(",")} if args.frames else None
     )
     frames = load_frames(args.images, ids)
-    metrics = evaluate(det, frames, tiled=args.tiled)
+    metrics = evaluate(det, frames, tiled=args.tiled, dump_path=args.dump)
     print(json.dumps(metrics, indent=1))
     return 0
 

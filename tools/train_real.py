@@ -91,7 +91,7 @@ def _boxes_in_tile(boxes, tx, ty, t):
     return inside, partial
 
 
-def sample_real_tile(rng, frames, t: int):
+def sample_real_tile(rng, frames, t: int, anchored: float = 0.75):
     """One augmented (tile, boxes) pair from the train frames."""
     for _ in range(60):
         img, gts, igns = frames[int(rng.integers(len(frames)))]
@@ -99,7 +99,7 @@ def sample_real_tile(rng, frames, t: int):
         # Scale jitter: crop an s*t source window, resize to t.
         s = float(rng.uniform(0.75, 1.35))
         src = min(int(round(t * s)), H, W)
-        if rng.random() < 0.75 and gts:  # anchored at a random GT
+        if rng.random() < anchored and gts:  # anchored at a random GT
             g = gts[int(rng.integers(len(gts)))]["xywh"]
             lo_x = max(g[0] + g[2] + 16 - src, 0)
             hi_x = min(g[0] - 16, W - src)
@@ -167,7 +167,9 @@ def stage_batches(args, jax, jnp, rng, frames):
                     xywh[i, :n] = sc.car_xywh[:n]
                     valid[i, :n] = True
             else:
-                tile, boxes = sample_real_tile(rng, frames, t)
+                tile, boxes = sample_real_tile(
+                    rng, frames, t, anchored=args.anchored
+                )
                 tiles[i] = tile
                 n = min(len(boxes), CAPACITY)
                 if n:
@@ -210,6 +212,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--synth-frac", type=float, default=0.5)
+    ap.add_argument("--anchored", type=float, default=0.75,
+                    help="fraction of real tiles anchored at a GT box; the "
+                    "rest are random windows (background negatives)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="assets/models")
     ap.add_argument("--name", default="",
