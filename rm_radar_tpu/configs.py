@@ -361,3 +361,13 @@ class RadarConfig:
     locator: LocatorConfig = dataclasses.field(default_factory=LocatorConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
     calibration: Calibration = dataclasses.field(default_factory=Calibration)
+    # Serving-loop bucket de-escalation: after this many consecutive quiet
+    # ticks (observed car count <= half the next-smaller bucket) the stream
+    # drops one bucket size. 60 ticks ~= 2-6 s at camera rate — long enough
+    # that a brief lull doesn't trigger an escalate/de-escalate recompile
+    # ping-pong, short enough to shed the larger program's cost within
+    # seconds of the scene actually emptying. Env override:
+    # RM_RADAR_DEESCALATE_AFTER.
+    stream_deescalate_after: int = dataclasses.field(
+        default_factory=lambda: _env_int("RM_RADAR_DEESCALATE_AFTER", 60)
+    )

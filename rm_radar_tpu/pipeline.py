@@ -535,7 +535,8 @@ class Radar:
                         cur, quiet = bi, 0
                     else:
                         cur, quiet = self._adjust_bucket(
-                            n_max, bucket_list[bi], bucket_list, cur, quiet
+                            n_max, bucket_list[bi], bucket_list, cur,
+                            quiet, self.config.stream_deescalate_after,
                         )
                     if stats is not None and cur != prev:
                         stats[
@@ -755,7 +756,8 @@ class Radar:
                 cur, quiet = bi, 0
             else:
                 cur, quiet = self._adjust_bucket(
-                    int(host.n_cars), bucket_list[bi], bucket_list, cur, quiet
+                    int(host.n_cars), bucket_list[bi], bucket_list, cur,
+                    quiet, self.config.stream_deescalate_after,
                 )
             if stats is not None and cur != prev:
                 stats["escalations" if cur > prev else "de_escalations"] += 1
@@ -793,13 +795,17 @@ class Radar:
             yield consume(pending.popleft())
 
     @staticmethod
-    def _adjust_bucket(n_robots, bucket_used, bucket_list, cur, quiet):
-        """Escalate when a bucket fills; de-escalate after a quiet stretch."""
+    def _adjust_bucket(
+        n_robots, bucket_used, bucket_list, cur, quiet, deescalate_after=60
+    ):
+        """Escalate when a bucket fills; de-escalate after a quiet stretch
+        of ``deescalate_after`` ticks (RadarConfig.stream_deescalate_after;
+        env RM_RADAR_DEESCALATE_AFTER)."""
         if n_robots >= bucket_used and cur < len(bucket_list) - 1:
             return cur + 1, 0
         if cur > 0 and n_robots <= bucket_list[cur - 1] // 2:
             quiet += 1
-            if quiet >= 60:
+            if quiet >= deescalate_after:
                 return cur - 1, 0
         else:
             quiet = 0

@@ -366,6 +366,33 @@ def test_adjust_bucket_logic():
     assert cur == 0
     # at top bucket, saturation stays put
     assert Radar._adjust_bucket(20, 20, buckets, 1, 0) == (1, 0)
+    # the quiet threshold is configurable (RadarConfig.stream_deescalate_after)
+    cur, quiet = 1, 0
+    for _ in range(4):
+        cur, quiet = Radar._adjust_bucket(
+            1, 20, buckets, cur, quiet, deescalate_after=5
+        )
+        assert cur == 1
+    cur, quiet = Radar._adjust_bucket(
+        1, 20, buckets, cur, quiet, deescalate_after=5
+    )
+    assert (cur, quiet) == (0, 0)
+
+
+def test_deescalate_after_config_field():
+    """RadarConfig carries the stream de-escalation knob with an env
+    default (RM_RADAR_DEESCALATE_AFTER), like every other measured knob."""
+    import os
+
+    from rm_radar_tpu.configs import RadarConfig
+
+    assert RadarConfig().stream_deescalate_after == 60
+    assert RadarConfig(stream_deescalate_after=7).stream_deescalate_after == 7
+    os.environ["RM_RADAR_DEESCALATE_AFTER"] = "12"
+    try:
+        assert RadarConfig().stream_deescalate_after == 12
+    finally:
+        del os.environ["RM_RADAR_DEESCALATE_AFTER"]
 
 
 @pytest.mark.slow

@@ -192,7 +192,9 @@ def evaluate(
         "n_detections": n_det,
         "car_precision": round(n_tp / max(n_det, 1), 4),
         "car_recall": round(n_tp / max(n_gt, 1), 4),
-        "armor_detected_rate": round(n_tp and detected_flags / n_tp, 4),
+        "armor_detected_rate": (
+            round(detected_flags / n_tp, 4) if n_tp else 0.0
+        ),
         "label_accuracy": round(label_hits / max(label_total, 1), 4),
         "n_labeled_matched": label_total,
         "team_accuracy": round(team_hits / max(team_total, 1), 4),
