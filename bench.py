@@ -34,6 +34,19 @@ Flags (env):
                  tools/eval_synth.py, PERF.md). Set 640 for the strict
                  reference configuration; 320/416/640 numbers are
                  recorded in PERF.md.
+  BENCH_TILED    "1": run the car stage TILED at native resolution
+                 (RobotDetectorConfig.car_tile = BENCH_CAR_SIZE, overlap
+                 192) — the configuration that actually detects the
+                 reference's own 2592x2048 match frames, whose median robot
+                 is 62 px (letterboxed to 512 that is ~12 px, below any
+                 trained scale; PERF.md real-frame section). The synthetic
+                 scenes switch to the matching small-robot regime (car
+                 extents 40-170 px native, the scale the tile-level
+                 training renders), so car counts, crop sizes and armor
+                 occupancy follow the real tiled workload. The car stage
+                 then runs a 42-tile batch per frame instead of one 512
+                 letterbox — this mode measures what small-object coverage
+                 of the full frame costs, vs the letterboxed headline.
   BENCH_WEIGHTS  "synth" (default when assets/models has checkpoints for
                  BENCH_VARIANT): real trained weights + synthetic 2592x2048
                  scenes with realistic car counts, so detection counts, crop
@@ -267,6 +280,7 @@ def main() -> int:
     # (PERF.md round 3) with located-rate telemetry guarding correctness.
     max_fg = int(os.environ.get("BENCH_MAX_FG", "1024"))
     max_points = int(os.environ.get("BENCH_MAX_POINTS", "10240"))
+    tiled = os.environ.get("BENCH_TILED", "0") == "1"
 
     log(f"devices: {jax.devices()}")
 
@@ -334,8 +348,16 @@ def main() -> int:
         car_variables = load_variables(car_w)
         armor_variables = load_variables(armor_w)
         rng = np.random.default_rng(7)
+        # Tiled mode exists for the small-robot regime (the reference's own
+        # frames: median car 62 px native). Its scenes render car extents
+        # 40-170 px — inside the tile-level training distribution and small
+        # enough that the 192 px tile overlap guarantees every car is seen
+        # whole by some tile (objects > overlap - 2*margin can be border-
+        # suppressed everywhere; 660 px cars would be, so the letterboxed
+        # headline keeps its own large-car scenes).
+        car_px = (40, 170) if tiled else (180, 660)
         scenes = [
-            make_scene(rng, 2048, 2592, max_cars=6, car_size=(180, 660))
+            make_scene(rng, 2048, 2592, max_cars=6, car_size=car_px)
             for _ in range(10)
         ]
         images = [s.image for s in scenes]
@@ -351,6 +373,7 @@ def main() -> int:
             armor_input_width=armor_size,
             armor_input_height=armor_size,
             crop_window=int(os.environ.get("BENCH_CROP_WINDOW", "768")),
+            car_tile=car_size if tiled else 0,
         ),
         locator=LocatorConfig(max_foreground=max_fg, max_points=max_points),
     )
@@ -366,6 +389,8 @@ def main() -> int:
         if car_size == 640
         else f"car@{car_size}, armor@{armor_size}"
     )
+    if tiled:
+        size_desc = f"car TILED {car_size}px/ov192, armor@{armor_size}"
 
     if os.environ.get("BENCH_MODE", "batch8") == "batch8":
         # The armor bucket is fit to the workload's max car count (synth

@@ -549,9 +549,18 @@ class RobotDetector:
         if max_cars is None:
             max_cars = cfg.max_cars
         probe_cap = max(cfg.max_cars, max_cars)
-        cars_all, car_candidates = self.car.detect_fn(
-            image, max_detections=probe_cap, with_stats=True
-        )
+        if cfg.car_tile > 0:
+            # Config-driven tiled car stage: every pipeline path (run_once,
+            # run_stream, the vmapped batch step) inherits high-resolution
+            # tiling by constructing RobotDetectorConfig(car_tile=...) —
+            # no separate entry point needed. See detect_tiled_fn.
+            cars_all, car_candidates = self.car.detect_tiled_fn(
+                image, max_detections=probe_cap, with_stats=True
+            )
+        else:
+            cars_all, car_candidates = self.car.detect_fn(
+                image, max_detections=probe_cap, with_stats=True
+            )
         return self._cascade_fn(
             image, cars_all, car_candidates, max_cars, crop_window
         )
