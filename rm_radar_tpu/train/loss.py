@@ -21,11 +21,25 @@ from ..types import Array
 
 
 class DetectionTargets(NamedTuple):
-    """Ground truth per image: fixed-capacity boxes + labels + validity."""
+    """Ground truth per image: fixed-capacity boxes + labels + validity.
+
+    ``ignore_xywh``/``ignore_valid`` (optional) mark crowd/ambiguous regions
+    that must be neither positive nor negative: anchors whose center falls
+    inside an ignore box and that are not assigned to a real gt get ZERO
+    classification loss (the standard iscrowd convention). Without this,
+    regions adjacent to an ambiguous cluster can never be sampled as
+    background at all — the tile sampler would have to reject any window
+    containing the cluster — and the model is free to hallucinate objects
+    there (measured: the arena's central structure next to the one ignore
+    region in assets/labels/real_frames.json drew stable 0.96-confidence
+    false positives, PERF.md round-5 real-frame section).
+    """
 
     xywh: Array  # [B, G, 4] (x, y, w, h) top-left, input pixels
     label: Array  # [B, G] int32
     valid: Array  # [B, G] bool
+    ignore_xywh: Array | None = None  # [B, I, 4] or None
+    ignore_valid: Array | None = None  # [B, I] bool
 
 
 def _ciou(box_a: Array, box_b: Array) -> Array:
@@ -292,6 +306,23 @@ def detection_loss(
     bce = jnp.maximum(cls_logits, 0) - cls_logits * cls_t + jnp.log1p(
         jnp.exp(-jnp.abs(cls_logits))
     )
+    if targets.ignore_xywh is not None:
+        # iscrowd convention: a negative anchor inside an ignore region is
+        # excluded from the classification loss (positives keep theirs — a
+        # real gt overlapping an ignore box still trains normally).
+        igx0 = targets.ignore_xywh[..., 0]
+        igy0 = targets.ignore_xywh[..., 1]
+        igx1 = igx0 + targets.ignore_xywh[..., 2]
+        igy1 = igy0 + targets.ignore_xywh[..., 3]
+        in_ignore = jnp.any(
+            (cx >= igx0[:, None])
+            & (cx < igx1[:, None])
+            & (cy >= igy0[:, None])
+            & (cy < igy1[:, None])
+            & targets.ignore_valid[:, None],
+            axis=-1,
+        )  # [B, A]
+        bce = jnp.where((positive | ~in_ignore)[..., None], bce, 0.0)
 
     n_pos = jnp.maximum(jnp.sum(positive.astype(jnp.float32)), 1.0)
     box_term = jnp.sum(box_loss) / n_pos

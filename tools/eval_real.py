@@ -56,12 +56,22 @@ def load_frames(image_dir: str, frame_ids=None):
     return frames
 
 
+def _inter_over_det(det_xywh, ign_xywh) -> float:
+    """Fraction of the detection's area inside the ignore box."""
+    dx, dy, dw, dh = det_xywh
+    ix, iy, iw, ih = ign_xywh
+    ox = max(0.0, min(dx + dw, ix + iw) - max(dx, ix))
+    oy = max(0.0, min(dy + dh, iy + ih) - max(dy, iy))
+    return ox * oy / max(dw * dh, 1e-9)
+
+
 def evaluate(
     detector,
     frames,
     iou_thresh: float = 0.5,
     tiled: bool = False,
     dump_path: str = "",
+    stage: str = "cascade",
 ) -> dict:
     """Greedy confidence-ordered matching per frame with ignore-region
     semantics (a detection matching only an ignore box is dropped from both
@@ -75,6 +85,31 @@ def evaluate(
 
     per_frame = []
     for name, image, boxes in frames:
+        if stage == "car":
+            # Car stage alone (Detections, confidence = the CAR model's own
+            # score): isolates tiled car-detection quality from the armor
+            # classifier — the cascade's same-label dedup keeps one robot
+            # per armor label (reference detector.cpp:431-450), so a
+            # misclassifying armor model collapses cascade recall even when
+            # every robot was found (measured round 5, PERF.md).
+            car = detector.car
+            d = jax.device_get(
+                car.detect_tiled(image) if tiled else car.detect(image)
+            )
+            dets = [
+                (
+                    float(d.confidence[i]),
+                    np.asarray(d.xywh[i], np.float64),
+                    False,
+                    -1,
+                )
+                for i in range(len(d.valid))
+                if d.valid[i]
+            ]
+            gts = [b for b in boxes if not b["ignore"]]
+            igns = [b for b in boxes if b["ignore"]]
+            per_frame.append((name, dets, gts, igns))
+            continue
         rb = detector.detect_tiled(image) if tiled else detector.detect(image)
         host = jax.device_get(rb)
         dets = [
@@ -119,7 +154,12 @@ def evaluate(
                 matches.append((f, i, gts[best_j]))
                 continue
             for ig in per_frame[f][3]:
-                if iou_xywh(rect, ig["xywh"]) >= iou_t:
+                # Crowd-region convention (COCO iscrowd): an unmatched
+                # detection is dropped from both TP and FP when MOST OF THE
+                # DETECTION lies inside the ignore region — intersection /
+                # det area, not IoU (a small det inside a large ignore box
+                # has tiny IoU but is exactly the case the region marks).
+                if _inter_over_det(rect, ig["xywh"]) >= 0.5:
                     ignored[k] = True
                     break
         return tp, ignored, matches
@@ -236,6 +276,9 @@ def main() -> int:
     ap_.add_argument("--dump", default="",
                      help="write per-frame detections + GT to this JSON "
                      "path (failure analysis)")
+    ap_.add_argument("--stage", choices=["cascade", "car"], default="cascade",
+                     help="'car' evaluates the car detector alone (no armor "
+                     "stage, no same-label dedup) — the per-stage metric")
     args = ap_.parse_args()
 
     if args.cpu:
@@ -293,7 +336,9 @@ def main() -> int:
         {int(x) for x in args.frames.split(",")} if args.frames else None
     )
     frames = load_frames(args.images, ids)
-    metrics = evaluate(det, frames, tiled=args.tiled, dump_path=args.dump)
+    metrics = evaluate(
+        det, frames, tiled=args.tiled, dump_path=args.dump, stage=args.stage
+    )
     print(json.dumps(metrics, indent=1))
     return 0
 

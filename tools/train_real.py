@@ -44,6 +44,7 @@ from train_synth import _transform_boxes  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CAPACITY = 8  # target slots per tile
+IGN_CAP = 2  # ignore-region slots per tile (one ambiguous cluster per frame)
 
 
 def load_real_frames(image_dir: str, frame_ids):
@@ -92,7 +93,13 @@ def _boxes_in_tile(boxes, tx, ty, t):
 
 
 def sample_real_tile(rng, frames, t: int, anchored: float = 0.75):
-    """One augmented (tile, boxes) pair from the train frames."""
+    """One augmented (tile, boxes, ignore_boxes) triple from the train
+    frames. Tiles that CUT a gt or ignore box are rejected (never label a
+    cut robot as background); tiles containing a whole ignore region are
+    kept and return it, so the loss can exclude its anchors from the
+    negative supervision (train/loss.py iscrowd masking) — without this,
+    windows around the ambiguous cluster are unsampleable and everything
+    near it (the arena's central structure) goes untrained as background."""
     for _ in range(60):
         img, gts, igns = frames[int(rng.integers(len(frames)))]
         H, W = img.shape[:2]
@@ -113,12 +120,12 @@ def sample_real_tile(rng, frames, t: int, anchored: float = 0.75):
             tx = int(rng.integers(0, W - src + 1))
             ty = int(rng.integers(0, H - src + 1))
         inside, partial = _boxes_in_tile(gts, tx, ty, src)
-        _, ign_partial = _boxes_in_tile(igns, tx, ty, src)
-        ign_inside, _ = _boxes_in_tile(igns, tx, ty, src)
-        if partial or ign_partial or ign_inside:
+        ign_inside, ign_partial = _boxes_in_tile(igns, tx, ty, src)
+        if partial or ign_partial:
             continue  # never label a cut robot as background
         tile = img[ty : ty + src, tx : tx + src]
         boxes = np.asarray(inside, np.float32).reshape(-1, 4)
+        ign_boxes = np.asarray(ign_inside, np.float32).reshape(-1, 4)
         if src != t:
             from PIL import Image
 
@@ -126,6 +133,7 @@ def sample_real_tile(rng, frames, t: int, anchored: float = 0.75):
                 Image.fromarray(tile).resize((t, t), Image.BILINEAR)
             )
             boxes = boxes * (t / src)
+            ign_boxes = ign_boxes * (t / src)
         tile = tile.astype(np.float32)
         # Photometric augmentation (BGR; the camera model the synth arena
         # domain also samples): gamma, gain/bias, per-channel gain, noise.
@@ -139,7 +147,9 @@ def sample_real_tile(rng, frames, t: int, anchored: float = 0.75):
             tile = tile[:, ::-1]
             if len(boxes):
                 boxes[:, 0] = t - boxes[:, 0] - boxes[:, 2]
-        return np.ascontiguousarray(tile), boxes
+            if len(ign_boxes):
+                ign_boxes[:, 0] = t - ign_boxes[:, 0] - ign_boxes[:, 2]
+        return np.ascontiguousarray(tile), boxes, ign_boxes
     raise RuntimeError("tile rejection sampling failed 60 times")
 
 
@@ -155,6 +165,8 @@ def stage_batches(args, jax, jnp, rng, frames):
         tiles = np.zeros((args.batch, t, t, 3), np.uint8)
         xywh = np.zeros((args.batch, CAPACITY, 4), np.float32)
         valid = np.zeros((args.batch, CAPACITY), bool)
+        ign_xywh = np.zeros((args.batch, IGN_CAP, 4), np.float32)
+        ign_valid = np.zeros((args.batch, IGN_CAP), bool)
         for i in range(args.batch):
             if rng.random() < args.synth_frac:
                 sc = make_scene(
@@ -167,7 +179,7 @@ def stage_batches(args, jax, jnp, rng, frames):
                     xywh[i, :n] = sc.car_xywh[:n]
                     valid[i, :n] = True
             else:
-                tile, boxes = sample_real_tile(
+                tile, boxes, ign_boxes = sample_real_tile(
                     rng, frames, t, anchored=args.anchored
                 )
                 tiles[i] = tile
@@ -175,10 +187,18 @@ def stage_batches(args, jax, jnp, rng, frames):
                 if n:
                     xywh[i, :n] = boxes[:n]
                     valid[i, :n] = True
+                k = min(len(ign_boxes), IGN_CAP)
+                if k:
+                    ign_xywh[i, :k] = ign_boxes[:k]
+                    ign_valid[i, :k] = True
         blobs, pparams = letterbox(jax.device_put(tiles))
         pp = jax.device_get(pparams)
         t_xywh = _transform_boxes(
             xywh, valid, pp.ratio[:, None], pp.dw[:, None], pp.dh[:, None]
+        )
+        t_ign = _transform_boxes(
+            ign_xywh, ign_valid,
+            pp.ratio[:, None], pp.dw[:, None], pp.dh[:, None],
         )
         batches.append(
             (
@@ -188,6 +208,8 @@ def stage_batches(args, jax, jnp, rng, frames):
                         xywh=jnp.asarray(t_xywh),
                         label=jnp.zeros((args.batch, CAPACITY), jnp.int32),
                         valid=jnp.asarray(valid),
+                        ignore_xywh=jnp.asarray(t_ign),
+                        ignore_valid=jnp.asarray(ign_valid),
                     )
                 ),
             )
