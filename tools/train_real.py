@@ -229,6 +229,10 @@ def main() -> int:
                     "everything else is the held-out eval split")
     ap.add_argument("--images", default="/root/reference/assets/images")
     ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--assigner", choices=["center", "tal"], default="center",
+                    help="anchor assignment in the loss (train/loss.py); "
+                    "'tal' sharpens box extents on crowded/adjacent robots "
+                    "(the group-box failure mode PERF.md round 5 measures)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n-batches", type=int, default=48)
     ap.add_argument("--lr", type=float, default=2e-4)
@@ -304,7 +308,9 @@ def main() -> int:
     )
     state = create_train_state(model, variables, tx)
     step = jax.jit(
-        lambda s, b, t: train_step(s, b, t, model=model, tx=tx),
+        lambda s, b, t: train_step(
+            s, b, t, model=model, tx=tx, assigner=args.assigner
+        ),
         donate_argnums=(0,),
     )
     ema_params = jax.tree_util.tree_map(jnp.copy, state.params)
