@@ -70,15 +70,7 @@ def test_labels_match_bundled_images():
     assert present == names
 
 
-@pytest.mark.slow
-@pytest.mark.skipif(
-    os.environ.get("RM_RADAR_REAL_GATE", "0") != "1",
-    reason="real-TPU gate (set RM_RADAR_REAL_GATE=1 on a TPU host)",
-)
-def test_real_frame_gate_zero_shot_tiled():
-    """Zero-shot (synthetic-only arena-domain checkpoints, tiled car stage)
-    on all 10 real frames. Floors are measured-minus-margin from PERF.md
-    "Real-frame accuracy" — they alarm on regression, not on ambition."""
+def _run_eval_real(*extra_args):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let sitecustomize pick the TPU
     out = subprocess.run(
@@ -86,8 +78,7 @@ def test_real_frame_gate_zero_shot_tiled():
             sys.executable,
             os.path.join(REPO, "tools", "eval_real.py"),
             "--tiled",
-            "--suffix",
-            "_r4",
+            *extra_args,
         ],
         env=env,
         capture_output=True,
@@ -96,15 +87,70 @@ def test_real_frame_gate_zero_shot_tiled():
         cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    m = json.loads(out.stdout)
+    return json.loads(out.stdout)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("RM_RADAR_REAL_GATE", "0") != "1",
+    reason="real-TPU gate (set RM_RADAR_REAL_GATE=1 on a TPU host)",
+)
+def test_real_frame_gate_zero_shot_tiled():
+    """Zero-shot (synthetic-only arena-domain checkpoints, tiled car stage)
+    on all 10 real frames. Measured recall is 0 (the arena-v3 model fires
+    on 25-30 px part boxes, not car extents — PERF.md diagnosis), so the
+    property gated here is the one that CAN regress: the false-positive
+    budget. A renderer change that makes the model hallucinate cars all
+    over the real frames trips this before it pollutes the finetune."""
+    m = _run_eval_real("--suffix", "_r4")
     assert m["n_gt_cars"] == 70, m
-    assert m["car_recall"] >= FLOORS["zero_shot"]["car_recall"], m
-    assert m["car_precision"] >= FLOORS["zero_shot"]["car_precision"], m
+    assert m["n_detections"] <= FLOORS["zero_shot"]["max_detections"], m
 
 
-# Centered from the measured round-4 numbers in PERF.md ("Real-frame
-# accuracy" table); see that section for the honesty caveats (10 frames of
-# one sequence; zero-shot = fully-synthetic training).
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("RM_RADAR_REAL_GATE", "0") != "1",
+    reason="real-TPU gate (set RM_RADAR_REAL_GATE=1 on a TPU host)",
+)
+def test_real_frame_gate_finetuned_heldout():
+    """The round-5 few-shot configuration (car + armor finetuned on frames
+    0-4, tools/train_real.py + train_armor_real.py) evaluated on the
+    HELD-OUT frames 5-9 — the config with signal, gated at
+    measured-minus-margin (PERF.md "Round 5 — few-shot adaptation")."""
+    m = _run_eval_real(
+        "--frames", "5,6,7,8,9",
+        "--max-cars", "20",
+        "--car-npz", os.path.join(REPO, "assets/models/car_real_m_512.npz"),
+        "--armor-npz",
+        os.path.join(REPO, "assets/models/armor_real_m_256.npz"),
+    )
+    f = FLOORS["finetuned_heldout"]
+    assert m["n_gt_cars"] == 35, m
+    assert m["car_recall"] >= f["car_recall"], m
+    assert m["car_precision"] >= f["car_precision"], m
+    assert m["map_50"] >= f["map_50"], m
+    # Identity evidence (the reference's headline metric is marking
+    # accuracy on real data, README.md:25): plate label + team color on
+    # the matched cars.
+    assert m["label_accuracy"] >= f["label_accuracy"], m
+    assert m["team_accuracy"] >= f["team_accuracy"], m
+
+
+# Centered from the measured round-5 numbers in PERF.md ("Round 5 —
+# few-shot adaptation"): cascade on held-out frames 5-9 measured
+# P 0.79 / R 0.74 / mAP@.5 0.72 / label 0.95 / team 0.85; floors sit one
+# re-measurement's noise below. Zero-shot all-10-frames measured 60
+# detections at 0 recall (part-box firing, see PERF.md). See the PERF.md
+# section for the honesty caveats (10 consecutive frames of one sequence:
+# this measures few-shot adaptation to one camera/arena, not open-world
+# generalization).
 FLOORS = {
-    "zero_shot": {"car_recall": 0.0, "car_precision": 0.0},
+    "zero_shot": {"max_detections": 120},
+    "finetuned_heldout": {
+        "car_recall": 0.60,
+        "car_precision": 0.60,
+        "map_50": 0.55,
+        "label_accuracy": 0.80,
+        "team_accuracy": 0.70,
+    },
 }
