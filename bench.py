@@ -44,9 +44,15 @@ Flags (env):
                  extents 40-170 px native, the scale the tile-level
                  training renders), so car counts, crop sizes and armor
                  occupancy follow the real tiled workload. The car stage
-                 then runs a 42-tile batch per frame instead of one 512
+                 then runs a 48-tile batch per frame instead of one 512
                  letterbox — this mode measures what small-object coverage
                  of the full frame costs, vs the letterboxed headline.
+  BENCH_TILE_TOPK  (tiled mode only) K > 0: LiDAR-gated tile selection —
+                 score every tile by the locator's depth-diff foreground
+                 and run the car model on only the K best tiles per camera
+                 (RobotDetectorConfig.car_tile_topk; detect/tile_select.py
+                 for the contract). Post-run telemetry reports foreground
+                 blocks the gate left uncovered and alarms if nonzero.
   BENCH_WEIGHTS  "synth" (default when assets/models has checkpoints for
                  BENCH_VARIANT): real trained weights + synthetic 2592x2048
                  scenes with realistic car counts, so detection counts, crop
@@ -234,6 +240,52 @@ def bench_batch8(
             "*** ALARM: bucket clipped detections on the headline run — "
             "raise BENCH_BATCH_MAX_CARS or use run_stream_batch buckets ***"
         )
+    if radar.config.detector.car_tile_topk > 0:
+        # LiDAR-gated tile telemetry (off the timed path): re-derive each
+        # camera's final diff image from its carry and count foreground
+        # blocks the top-K selection left uncovered — nonzero means the
+        # gate would have dropped something the LiDAR saw.
+        from rm_radar_tpu.locate import locator as locate_mod
+
+        k = radar.config.detector.car_tile_topk
+        sel = radar._tile_selector(imgs.shape[1:])
+        loc_states = carries[0] if isinstance(carries, tuple) else carries
+        lc = radar.config.locator
+
+        @jax.jit
+        def _gate_stats(states):
+            def one(s):
+                diff = locate_mod.diff_from_state(s, lc)
+                fg = locate_mod.cluster(
+                    diff, radar.locator.calib, lc, candidates=s
+                )
+                _, unc, guar = sel.select_clusters(fg, k)
+                return unc, guar
+
+            return jax.vmap(one)(states)
+
+        unc, guar = (
+            np.asarray(x) for x in jax.device_get(_gate_stats(loc_states))
+        )
+        log(
+            f"tile gate: top-{k} of {sel.n_tiles} tiles/camera "
+            f"(cluster-aware), uncovered foreground blocks per camera "
+            f"(final step) = {unc.tolist()}, guaranteed cluster tiles = "
+            f"{guar.tolist()}"
+            + (
+                " *** ALARM: the tile gate dropped LiDAR-visible "
+                "foreground — raise BENCH_TILE_TOPK ***"
+                if int(unc.sum()) > 0
+                else ""
+            )
+            + (
+                f" *** ALARM: more cluster tiles than slots (max "
+                f"{int(guar.max())} > K={k}) — some cluster lost its "
+                "guaranteed tile ***"
+                if int(guar.max(initial=0)) > k
+                else ""
+            )
+        )
     print(
         json.dumps(
             {
@@ -374,6 +426,9 @@ def main() -> int:
             armor_input_height=armor_size,
             crop_window=int(os.environ.get("BENCH_CROP_WINDOW", "768")),
             car_tile=car_size if tiled else 0,
+            car_tile_topk=(
+                int(os.environ.get("BENCH_TILE_TOPK", "0")) if tiled else 0
+            ),
         ),
         locator=LocatorConfig(max_foreground=max_fg, max_points=max_points),
     )
@@ -391,6 +446,9 @@ def main() -> int:
     )
     if tiled:
         size_desc = f"car TILED {car_size}px/ov192, armor@{armor_size}"
+        topk = config.detector.car_tile_topk
+        if topk:
+            size_desc += f", lidar-gated top-{topk} tiles"
 
     if os.environ.get("BENCH_MODE", "batch8") == "batch8":
         # The armor bucket is fit to the workload's max car count (synth

@@ -161,6 +161,13 @@ class RobotDetectorConfig:
     car_tile: int = 0
     car_tile_overlap: int = 192
     tile_border_margin: int = 8
+    # LiDAR-gated top-K tile selection for the tiled car stage (0 = run the
+    # full grid). When > 0, the pipeline scores every tile by the locator's
+    # depth-diff foreground and runs the car model only on the K best tiles
+    # (detect/tile_select.py — rationale, guarantees and the camera-only-
+    # detection trade-off are documented there). Requires a primed
+    # background; the bench alarms on uncovered foreground.
+    car_tile_topk: int = 0
 
     def car_config(self) -> DetectorConfig:
         return DetectorConfig(

@@ -217,6 +217,7 @@ class Detector:
         tile: int | None = None,
         overlap: int | None = None,
         border_margin: int | None = None,
+        tile_indices: Array | None = None,
     ):
         """Tiled high-resolution detection (traceable): slide a native-res
         ``tile`` x ``tile`` window over the image, run the model on all
@@ -246,6 +247,16 @@ class Detector:
         n_candidates is the MAX over tiles of above-conf_thresh anchors —
         the per-tile NMS pool is what saturates (each tile runs its own
         top-K pass).
+
+        ``tile_indices`` (optional, [K] int32, K <= n_tiles): run the model
+        only on these tiles of the grid — the LiDAR-gated top-K mode (see
+        detect/tile_select.py for the selection and its contract). The full
+        tile stack is still extracted with static slices (vmap-safe; a
+        traced-offset dynamic_slice under the batched camera vmap would
+        lower to a generic gather); the gather then keeps K whole tiles,
+        and the model batch shrinks from n_tiles to K. Border-suppression
+        flags and coordinate shifts are gathered alongside, so merge
+        semantics for the selected tiles are identical to the full grid.
         """
         cfg = self.config
         T = tile if tile is not None else (cfg.tile or max(cfg.input_height, cfg.input_width))
@@ -268,17 +279,33 @@ class Detector:
                 for ty, tx in offsets
             ]
         )
-        per_tile = jax.vmap(
-            lambda im: self.detect_fn(im, m_det, with_stats=True)
-        )(tiles)
-        dets, n_cand = per_tile  # Detections [N, m_det, ...], [N]
-
-        # Interior-border suppression in tile coordinates. Static per-tile
-        # flags: an edge is interior unless the tile touches the image edge.
+        # Interior-border suppression flags in tile coordinates. Static
+        # per-tile: an edge is interior unless the tile touches the image
+        # edge.
         il = np.array([tx > 0 for _, tx in offsets])
         ir = np.array([tx + T < src_w for _, tx in offsets])
         it = np.array([ty > 0 for ty, _ in offsets])
         ib = np.array([ty + T < src_h for ty, _ in offsets])
+        shift_np = np.array(
+            [[tx, ty, 0, 0] for ty, tx in offsets], np.float32
+        )
+        if tile_indices is not None:
+            # LiDAR-gated top-K: keep K whole tiles (one gather along the
+            # tile axis — contiguous 786 KB rows, DMA-trivial next to the
+            # conv FLOPs the shrunk batch saves) and gather the per-tile
+            # flag/shift constants to match.
+            tiles = jnp.take(tiles, tile_indices, axis=0)
+            il = jnp.asarray(il)[tile_indices]
+            ir = jnp.asarray(ir)[tile_indices]
+            it = jnp.asarray(it)[tile_indices]
+            ib = jnp.asarray(ib)[tile_indices]
+            shift = jnp.asarray(shift_np)[tile_indices].astype(jnp.float32)
+        else:
+            shift = jnp.asarray(shift_np)
+        per_tile = jax.vmap(
+            lambda im: self.detect_fn(im, m_det, with_stats=True)
+        )(tiles)
+        dets, n_cand = per_tile  # Detections [N, m_det, ...], [N]
         x0 = dets.xywh[..., 0]
         y0 = dets.xywh[..., 1]
         x1 = x0 + dets.xywh[..., 2]
@@ -292,10 +319,9 @@ class Detector:
         valid = dets.valid & ~cut
 
         # Shift to source coordinates and pool across tiles.
-        shift = jnp.asarray(
-            [[tx, ty, 0, 0] for ty, tx in offsets], dets.xywh.dtype
-        )
-        pool_xywh = (dets.xywh + shift[:, None, :]).reshape(-1, 4)
+        pool_xywh = (
+            dets.xywh + shift.astype(dets.xywh.dtype)[:, None, :]
+        ).reshape(-1, 4)
         pool_label = dets.label.reshape(-1)
         # Invalid slots get confidence -1: strictly below any conf_thresh,
         # so the merge NMS can neither keep nor suppress with them.
@@ -522,6 +548,7 @@ class RobotDetector:
         image: Array,
         max_cars: int | None = None,
         crop_window: int | None = None,
+        tile_indices: Array | None = None,
     ) -> RobotBatch:
         """Full fused cascade for one frame (traceable).
 
@@ -555,7 +582,10 @@ class RobotDetector:
             # tiling by constructing RobotDetectorConfig(car_tile=...) —
             # no separate entry point needed. See detect_tiled_fn.
             cars_all, car_candidates = self.car.detect_tiled_fn(
-                image, max_detections=probe_cap, with_stats=True
+                image,
+                max_detections=probe_cap,
+                with_stats=True,
+                tile_indices=tile_indices,
             )
         else:
             cars_all, car_candidates = self.car.detect_fn(
@@ -572,6 +602,7 @@ class RobotDetector:
         crop_window: int | None = None,
         tile: int | None = None,
         overlap: int | None = None,
+        tile_indices: Array | None = None,
     ) -> RobotBatch:
         """Cascade with a TILED car stage (Detector.detect_tiled_fn): the
         high-resolution mode for full-frame radar cameras where robots are
@@ -588,6 +619,7 @@ class RobotDetector:
             with_stats=True,
             tile=tile,
             overlap=overlap,
+            tile_indices=tile_indices,
         )
         return self._cascade_fn(
             image, cars_all, car_candidates, max_cars, crop_window

@@ -288,6 +288,25 @@ def update(
     return new_state, diff
 
 
+def diff_from_state(state: LocatorState, config: LocatorConfig) -> Array:
+    """Recompute the diff image :func:`update` returned when ``state`` was
+    produced — the same newest-wins loop over the state's queue against its
+    background (both already post-ingest). Used by consumers that need the
+    frame's foreground after the fact (tiled top-K telemetry in bench.py,
+    repair-path tile re-selection) without re-running the projection."""
+    diff = jnp.zeros_like(state.background)
+    for i in range(config.queue_size):  # static, oldest -> newest
+        img = state.queue[i]
+        delta = state.background - img
+        mask = (
+            (img != 0.0)
+            & (delta >= config.min_depth_diff)
+            & (delta <= config.max_depth_diff)
+        )
+        diff = jnp.where(mask, img, diff)
+    return diff
+
+
 def _connected_components(
     points: Array, valid: Array, tolerance: float, iterations: int
 ) -> Array:

@@ -105,6 +105,26 @@ class Radar:
         self.locator = Locator(self.config.locator, self.config.calibration)
         self.tracker = Tracker(self.config.tracker)
         self._jitted = {}
+        self._tile_selectors = {}
+
+    def _tile_selector(self, image_shape):
+        """Per-image-shape TileSelector (static masks) for the LiDAR-gated
+        tiled car stage; built lazily at trace time."""
+        from .detect.tile_select import TileSelector
+
+        src_h, src_w = int(image_shape[0]), int(image_shape[1])
+        key = (src_h, src_w)
+        if key not in self._tile_selectors:
+            d = self.config.detector
+            self._tile_selectors[key] = TileSelector(
+                src_h,
+                src_w,
+                d.car_tile,
+                d.car_tile_overlap,
+                d.tile_border_margin,
+                self.config.locator.zoom_factor,
+            )
+        return self._tile_selectors[key]
 
     # ---------------------------------------------------------------- fused
 
@@ -123,10 +143,16 @@ class Radar:
         armor bucket and re-searched against the same foreground — without
         re-running the locate update (which would double-push the depth
         queue). Callers that never repair just drop it.
+
+        With ``car_tile_topk`` (LiDAR-gated tiled mode) the stages reorder
+        to locate-first: update/cluster are detection-independent, and the
+        clustered foreground's diff image is exactly the tile-selection
+        signal (detect/tile_select.py). Selection is recomputed from the
+        saved Foreground in :meth:`_repair_fn`, so repairs see the same
+        tiles deterministically.
         """
-        robots = self.detector.detect_fn(
-            image, max_cars=max_cars, crop_window=crop_window
-        )
+        d_cfg = self.config.detector
+        topk = d_cfg.car_tile > 0 and d_cfg.car_tile_topk > 0
         state, diff = locate_mod.update(
             state, points, self.locator.calib, self.config.locator
         )
@@ -135,6 +161,18 @@ class Radar:
             self.locator.calib,
             self.config.locator,
             candidates=state,  # static dedup3 flag checked vs the config
+        )
+        tile_indices = None
+        if topk:
+            idx, _, _ = self._tile_selector(image.shape).select_clusters(
+                fg, d_cfg.car_tile_topk
+            )
+            tile_indices = idx
+        robots = self.detector.detect_fn(
+            image,
+            max_cars=max_cars,
+            crop_window=crop_window,
+            tile_indices=tile_indices,
         )
         robots = locate_mod.search(
             robots, fg, self.locator.calib, self.config.locator
@@ -146,8 +184,19 @@ class Radar:
         Foreground: produces exactly what the frame program would have
         produced at that bucket (detection results are bucket-independent,
         detect/detector.py:detect_fn; locate state does not depend on the
-        bucket)."""
-        robots = self.detector.detect_fn(image, max_cars=max_cars)
+        bucket). In LiDAR-gated tiled mode the tile selection is recomputed
+        from the saved Foreground's diff image — deterministic, so the
+        repair sees exactly the frame program's tiles."""
+        d_cfg = self.config.detector
+        tile_indices = None
+        if d_cfg.car_tile > 0 and d_cfg.car_tile_topk > 0:
+            sel = self._tile_selector(image.shape)
+            tile_indices, _, _ = sel.select_clusters(
+                fg, d_cfg.car_tile_topk
+            )
+        robots = self.detector.detect_fn(
+            image, max_cars=max_cars, tile_indices=tile_indices
+        )
         return locate_mod.search(
             robots, fg, self.locator.calib, self.config.locator
         )
