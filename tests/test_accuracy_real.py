@@ -73,19 +73,31 @@ def test_labels_match_bundled_images():
 def _run_eval_real(*extra_args):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let sitecustomize pick the TPU
-    out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "eval_real.py"),
-            "--tiled",
-            *extra_args,
-        ],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-        cwd=REPO,
-    )
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "tools", "eval_real.py"),
+        "--tiled",
+        *extra_args,
+    ]
+    # The axon tunnel's remote-compile RPC occasionally drops mid-stream
+    # ("response body closed before all bytes were read", INTERNAL) — a
+    # transient of the dev link, not a model/eval failure. Retry once so
+    # the gate measures accuracy, not tunnel weather; the second attempt
+    # additionally benefits from whatever made it into the compile cache.
+    for attempt in range(2):
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600,
+            cwd=REPO,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout)
+        transient = (
+            "remote_compile" in out.stderr
+            or "DEADLINE_EXCEEDED" in out.stderr
+            or "UNAVAILABLE" in out.stderr
+        )
+        if not (transient and attempt == 0):
+            break
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout)
 
