@@ -33,14 +33,49 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd, log_path):
-    with open(log_path, "w") as f:
-        p = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO)
-    if p.returncode != 0:
-        raise SystemExit(
-            f"command failed rc={p.returncode}: {' '.join(cmd)} "
-            f"(log: {log_path})"
+def run(cmd, log_path, timeout=None, retries=0):
+    """Run cmd logging to log_path; bound with timeout and retry.
+
+    The axon dev tunnel's remote-compile RPC can hang indefinitely (a
+    fold-0 eval sat 22 min at zero CPU in the round-5 session; the same
+    program compiled in ~3 min once restarted). A timeout + one retry
+    turns that failure mode from 'protocol dies mid-run' into a bounded
+    hiccup. Timeouts are generous multiples of the measured healthy
+    durations (train fold ~10 min incl. staging, eval ~4 min).
+    """
+    for attempt in range(retries + 1):
+        with open(log_path, "w") as f:
+            try:
+                p = subprocess.run(
+                    cmd, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
+                    timeout=timeout,
+                )
+            except subprocess.TimeoutExpired:
+                print(
+                    f"timeout after {timeout}s (attempt {attempt + 1}): "
+                    f"{' '.join(cmd)}",
+                    file=sys.stderr, flush=True,
+                )
+                continue
+        if p.returncode == 0:
+            return
+        print(
+            f"rc={p.returncode} (attempt {attempt + 1}): {' '.join(cmd)}",
+            file=sys.stderr, flush=True,
         )
+    raise SystemExit(
+        f"command failed after {retries + 1} attempts: {' '.join(cmd)} "
+        f"(log: {log_path})"
+    )
+
+
+def _parse_json(path):
+    """Last JSON object in a mixed stderr+stdout log, or None."""
+    try:
+        text = open(path).read()
+        return json.loads(text[text.index("{"):])
+    except (OSError, ValueError):
+        return None
 
 
 def main() -> int:
@@ -64,32 +99,42 @@ def main() -> int:
             f"fold {k}: train {train_ids} eval {eval_ids}",
             file=sys.stderr, flush=True,
         )
-        run(
-            [
-                sys.executable, "tools/train_real.py",
-                "--variant", args.variant, "--size", str(args.size),
-                "--steps", str(args.steps), "--synth-frac", "0.5",
-                "--assigner", args.assigner,
-                "--init",
-                f"assets/models/car_synth_{args.variant}_{args.size}_r4.npz",
-                "--train-frames", ",".join(map(str, train_ids)),
-                "--out", args.workdir, "--name", name,
-            ],
-            os.path.join(args.workdir, f"train_fold{k}.log"),
-        )
+        # Resume-friendly: a completed fold's checkpoint / result is
+        # reused, so an interrupted protocol (tunnel hang, session end)
+        # restarts from where it stopped instead of re-training.
+        if not os.path.exists(ckpt):
+            run(
+                [
+                    sys.executable, "tools/train_real.py",
+                    "--variant", args.variant, "--size", str(args.size),
+                    "--steps", str(args.steps), "--synth-frac", "0.5",
+                    "--assigner", args.assigner,
+                    "--init",
+                    f"assets/models/"
+                    f"car_synth_{args.variant}_{args.size}_r4.npz",
+                    "--train-frames", ",".join(map(str, train_ids)),
+                    "--out", args.workdir, "--name", name,
+                ],
+                os.path.join(args.workdir, f"train_fold{k}.log"),
+                timeout=3600,
+                retries=1,
+            )
         out_path = os.path.join(args.workdir, f"eval_fold{k}.json")
-        run(
-            [
-                sys.executable, "tools/eval_real.py", "--tiled",
-                "--stage", "car", "--max-cars", "20",
-                "--frames", ",".join(map(str, eval_ids)),
-                "--car-npz", ckpt,
-            ],
-            out_path,
-        )
-        # eval log = stderr noise + the JSON; take the last JSON object.
-        text = open(out_path).read()
-        m = json.loads(text[text.index("{"):])
+        if not (os.path.exists(out_path) and _parse_json(out_path)):
+            run(
+                [
+                    sys.executable, "tools/eval_real.py", "--tiled",
+                    "--stage", "car", "--max-cars", "20",
+                    "--frames", ",".join(map(str, eval_ids)),
+                    "--car-npz", ckpt,
+                ],
+                out_path,
+                timeout=1500,
+                retries=1,
+            )
+        m = _parse_json(out_path)
+        if m is None:
+            raise SystemExit(f"fold {k}: no JSON in {out_path}")
         m["fold"] = k
         m["eval_frames"] = eval_ids
         folds.append(m)
